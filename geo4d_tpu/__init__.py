@@ -1,0 +1,26 @@
+"""geo4d_tpu — a TPU-native 4D video-diffusion reconstruction framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of Geo4D
+(video-diffusion-based monocular 4D reconstruction): an RGB-conditioned
+latent video diffusion model that denoises geometry modalities (point maps
++ confidence, Plücker ray/cross maps, inverse depth), a sliding-window
+scheduler, and a group global-alignment optimizer that fuses overlapping
+window predictions into a consistent 4D scene + camera trajectory.
+
+Layering (bottom-up):
+  core/       config, schedules, dtype policy, PRNG discipline
+  ops/        Pallas TPU kernels (flash attention)
+  nn/         Flax modules: attention, UNet blocks, VAE blocks, CLIP, resampler
+  models/     UNet3D, AutoencoderKL (+conf adaptor), diffusion model, converters
+  sampling/   DDIM (lax.scan), CFG variants
+  geometry/   Plücker rays<->cameras, MoGe focal/shift recovery, Umeyama, PnP
+  alignment/  group global-alignment optimizer (optax, jitted)
+  evals/      depth metrics, trajectory ATE/RPE, dataset registry
+  data/       video decode, image loading
+  parallel/   device mesh, shardings (windows/CFG/data parallel)
+  pipeline/   end-to-end inference: windows -> diffusion -> alignment -> export
+  training/   losses, train step, EMA
+  cli/        command-line entry points
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,99 @@
+"""Pallas TPU fused attention kernel for the spatial-attention hot path.
+
+Replaces the reference's xformers.ops.memory_efficient_attention CUDA path
+(lvdm/modules/attention.py:175). Geometry of the problem: self-attention
+over N = h*w latent tokens per frame (N <= 2048 at 32x64 latents), head dim
+64. At these sizes the full K/V for one (batch, head) fits comfortably in
+VMEM, so rather than an online-softmax flash loop we tile only the query
+axis and do one exact softmax per q-tile over the full key length — fewer
+passes over HBM than a streaming flash kernel and no rescaling traffic.
+
+Returns None from `flash_attention` when shapes don't meet the kernel's
+constraints; callers fall back to the XLA einsum path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas is TPU/CPU-interpret only; guard for exotic backends
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # (qb, d)
+    k = k_ref[0].astype(jnp.float32)  # (n, d)
+    v = v_ref[0]                      # (n, d)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                          # (qb, n)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    unnorm = jnp.exp(logits - m)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    weights = (unnorm / denom).astype(v.dtype)
+    out = jnp.dot(weights, v, preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_block",))
+def _flash_bhnd(q, k, v, q_block: int):
+    """q: (BH, Nq, D), k/v: (BH, Nk, D)."""
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    scale = d**-0.5
+    grid = (bh, nq // q_block)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, q_block, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh * nq * nk * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize * 2,
+            transcendentals=bh * nq * nk,
+        ),
+    )(q, k, v)
+
+
+def flash_attention(q, k, v) -> Optional[jax.Array]:
+    """Fused attention over (B, N, H, D) tensors, or None if unsupported.
+
+    Constraints: no mask, D a multiple of 64, Nk <= 4096 (full K/V per
+    (b, h) must fit VMEM), Nq divisible by a power-of-two q-block >= 128.
+    """
+    if not _PALLAS_OK:
+        return None
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    if d % 64 != 0 or nk > 4096 or nk % 128 != 0:
+        return None
+    q_block = 512 if nq % 512 == 0 else (256 if nq % 256 == 0 else (128 if nq % 128 == 0 else 0))
+    if q_block == 0:
+        return None
+
+    # (B, N, H, D) -> (B*H, N, D)
+    def fold(t):
+        return t.transpose(0, 2, 1, 3).reshape(t.shape[0] * t.shape[2], t.shape[1], d)
+
+    try:
+        out = _flash_bhnd(fold(q), fold(k), fold(v), q_block)
+    except Exception:
+        return None
+    return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)

@@ -1,0 +1,91 @@
+"""UNet3D structural tests on a tiny config (shape, zero-init identity,
+per-frame timesteps, context interleave)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geo4d_tpu.models.unet3d import UNet3D
+
+
+def tiny_unet(**kw):
+    defaults = dict(
+        in_channels=20,
+        out_channels=16,
+        model_channels=32,
+        num_res_blocks=1,
+        attention_resolutions=(1, 2),
+        channel_mult=(1, 2),
+        num_head_channels=16,
+        context_dim=24,
+        temporal_length=4,
+        dropout=0.0,
+        dtype=jnp.float32,
+    )
+    defaults.update(kw)
+    return UNet3D(**defaults)
+
+
+@pytest.fixture(scope="module")
+def unet_setup():
+    unet = tiny_unet()
+    b, t, h, w = 1, 4, 8, 16
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(b, t, h, w, 20)), jnp.float32)
+    ts = jnp.array([500])
+    ctx = jnp.asarray(
+        np.random.default_rng(1).normal(size=(b, 77 + t * 16, 24)), jnp.float32
+    )
+    fs = jnp.array([24])
+    params = unet.init(jax.random.PRNGKey(0), x, ts, ctx, fs)
+    return unet, params, (x, ts, ctx, fs)
+
+
+def test_output_shape(unet_setup):
+    unet, params, (x, ts, ctx, fs) = unet_setup
+    y = unet.apply(params, x, ts, ctx, fs)
+    assert y.shape == (1, 4, 8, 16, 16)
+    assert y.dtype == jnp.float32
+
+
+def test_zero_init_output_is_zero(unet_setup):
+    # out conv is zero-initialized -> fresh model predicts exactly 0
+    unet, params, (x, ts, ctx, fs) = unet_setup
+    y = unet.apply(params, x, ts, ctx, fs)
+    assert np.allclose(np.asarray(y), 0.0)
+
+
+def test_timestep_sensitivity(unet_setup):
+    # time embedding must reach hidden layers even though out conv is zero:
+    # check an intermediate representation changes with t via perturbed params
+    unet, params, (x, ts, ctx, fs) = unet_setup
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * np.random.default_rng(2).normal(size=p.shape).astype(p.dtype),
+        params,
+    )
+    y1 = unet.apply(params, x, jnp.array([10]), ctx, fs)
+    y2 = unet.apply(params, x, jnp.array([900]), ctx, fs)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_per_frame_timesteps(unet_setup):
+    unet, params, (x, ts, ctx, fs) = unet_setup
+    ts2d = jnp.broadcast_to(ts[:, None], (1, 4))
+    y1 = unet.apply(params, x, ts, ctx, fs)
+    y2 = unet.apply(params, x, ts2d, ctx, fs)
+    assert np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_context_without_image_tokens(unet_setup):
+    # plain text-only context (no 77 + 16t interleave) must also work
+    unet, params, (x, ts, ctx, fs) = unet_setup
+    ctx_text = ctx[:, :77, :]
+    y = unet.apply(params, x, ts, ctx_text, fs)
+    assert y.shape == (1, 4, 8, 16, 16)
+
+
+def test_jit_compiles(unet_setup):
+    unet, params, (x, ts, ctx, fs) = unet_setup
+    f = jax.jit(lambda p, x, t, c, fs: unet.apply(p, x, t, c, fs))
+    y = f(params, x, ts, ctx, fs)
+    assert y.shape == (1, 4, 8, 16, 16)
