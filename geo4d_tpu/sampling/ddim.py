@@ -1,0 +1,158 @@
+"""DDIM sampler as a single jitted `lax.scan`.
+
+Parity target: reference lvdm/models/samplers/ddim.py (make_schedule :24-57,
+ddim_sampling :134-203, p_sample_ddim :205-279) and the 3-way CFG variant
+ddim_multiplecond.py:220-234 — re-architected for XLA:
+
+  * the reference runs an eager python loop with per-step tensor `full`s and
+    buffer gathers; here the 5(+)-step loop is one `lax.scan` whose per-step
+    constants (alpha, sigma, dynamic-rescale factors) are precomputed host-
+    side (core/schedules.py) and fed as scan inputs — zero gathers in-loop.
+  * classifier-free guidance batches cond/uncond (and the image-uncond
+    branch of multi-cond CFG) along the batch axis in ONE UNet call instead
+    of 2-3 sequential calls, keeping the MXU saturated; under window-
+    parallel inference the CFG axis also shards cleanly over the mesh.
+
+v-parameterization conversion (reference ddpm3d.py:278-290):
+  e_t     = sqrt(abar_t) * v + sqrt(1-abar_t) * x_t
+  pred_x0 = sqrt(abar_t) * x_t - sqrt(1-abar_t) * v
+Dynamic rescale multiplies pred_x0 by scale_prev/scale (ddim.py:262-266).
+Guidance rescale (utils_diffusion.py:147-158) renormalizes the CFG output
+std to the cond-branch std.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DDIMTables(NamedTuple):
+    """Per-step constants, ordered ascending by timestep; scan reverses."""
+
+    timesteps: jax.Array          # (S,) int32 ddpm timesteps
+    alphas: jax.Array             # (S,) abar_t
+    alphas_prev: jax.Array        # (S,)
+    sigmas: jax.Array             # (S,)
+    sqrt_one_minus_alphas: jax.Array  # (S,)
+    scale: jax.Array              # (S,) dynamic rescale (ones if disabled)
+    scale_prev: jax.Array         # (S,)
+
+    @staticmethod
+    def from_schedule(schedule, num_steps: int, method: str = "uniform_trailing",
+                      eta: float = 0.0) -> "DDIMTables":
+        t = schedule.ddim_step_tables(num_steps, method, eta)
+        ones = np.ones_like(t["alphas"])
+        return DDIMTables(
+            timesteps=jnp.asarray(t["timesteps"]),
+            alphas=jnp.asarray(t["alphas"]),
+            alphas_prev=jnp.asarray(t["alphas_prev"]),
+            sigmas=jnp.asarray(t["sigmas"]),
+            sqrt_one_minus_alphas=jnp.asarray(t["sqrt_one_minus_alphas"]),
+            scale=jnp.asarray(t.get("scale", ones)),
+            scale_prev=jnp.asarray(t.get("scale_prev", ones)),
+        )
+
+
+def _rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
+    """Std-renormalize CFG output (utils_diffusion.py:147-158)."""
+    axes = tuple(range(1, noise_cfg.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
+
+def ddim_sample(
+    model_fn: Callable[[jax.Array, jax.Array, int], jax.Array],
+    shape: tuple,
+    tables: DDIMTables,
+    key: jax.Array,
+    *,
+    parameterization: str = "v",
+    cfg_scale: float = 1.0,
+    cfg_img: Optional[float] = None,
+    guidance_rescale: float = 0.0,
+    x_T: Optional[jax.Array] = None,
+    temperature: float = 1.0,
+) -> jax.Array:
+    """Run the DDIM reverse process.
+
+    model_fn(x, t, branch_count) -> model output, where x is the latent
+    stacked `branch_count` times along batch for CFG ([cond | uncond] or
+    [cond | uncond | uncond_img]); it must return the same stacking. The
+    caller closes over conditioning (context/c_concat/fs) — that keeps this
+    sampler agnostic of the conditioning structure.
+
+    shape: (B, T, H, W, C) latent shape. Returns the final x_0 latents.
+    """
+    num_steps = tables.timesteps.shape[0]
+    use_cfg = cfg_scale != 1.0
+    multicond = use_cfg and (cfg_img is not None) and (cfg_img != 1.0)
+    branches = 3 if multicond else (2 if use_cfg else 1)
+
+    key, nkey = jax.random.split(key)
+    x = x_T if x_T is not None else jax.random.normal(nkey, shape, dtype=jnp.float32)
+
+    # scan inputs reversed: step 0 of the scan = highest timestep
+    def rev(a):
+        return jnp.flip(a, axis=0)
+
+    per_step = jax.tree_util.tree_map(rev, tables)
+    noise_keys = jax.random.split(key, num_steps)
+
+    def step(x, inputs):
+        consts, nkey = inputs
+        t = consts.timesteps
+        a_t = consts.alphas
+        a_prev = consts.alphas_prev
+        sigma_t = consts.sigmas
+        sqrt_1ma = consts.sqrt_one_minus_alphas
+        rescale = consts.scale_prev / consts.scale
+
+        if branches > 1:
+            x_in = jnp.concatenate([x] * branches, axis=0)
+        else:
+            x_in = x
+        out = model_fn(x_in, t, branches)
+
+        if multicond:
+            # e = e_uc + cfg_img*(e_uc_img - e_uc) + cfg*(e_c - e_uc_img)
+            # (ddim_multiplecond.py:220-234)
+            e_c, e_uc, e_uc_img = jnp.split(out, 3, axis=0)
+            model_output = (
+                e_uc + cfg_img * (e_uc_img - e_uc) + cfg_scale * (e_c - e_uc_img)
+            )
+            cond_out = e_c
+        elif use_cfg:
+            e_c, e_uc = jnp.split(out, 2, axis=0)
+            model_output = e_uc + cfg_scale * (e_c - e_uc)
+            cond_out = e_c
+        else:
+            model_output = out
+            cond_out = out
+
+        if use_cfg and guidance_rescale > 0.0:
+            model_output = _rescale_noise_cfg(model_output, cond_out, guidance_rescale)
+
+        sqrt_at = jnp.sqrt(a_t)
+        if parameterization == "v":
+            e_t = sqrt_at * model_output + sqrt_1ma * x
+            pred_x0 = sqrt_at * x - sqrt_1ma * model_output
+        else:  # eps
+            e_t = model_output
+            pred_x0 = (x - sqrt_1ma * e_t) / sqrt_at
+
+        pred_x0 = pred_x0 * rescale  # dynamic rescale (ddim.py:262-266)
+
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
+        noise = sigma_t * jax.random.normal(nkey, x.shape, x.dtype) * temperature
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        return x_prev, None
+
+    x, _ = jax.lax.scan(step, x, (per_step, noise_keys))
+    return x
