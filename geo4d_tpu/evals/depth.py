@@ -1,0 +1,177 @@
+"""Depth/disparity evaluation: scale-shift alignment + standard metrics.
+
+Parity target: reference dust3r/depth_eval.py `depth_evaluation` (:147-340):
+valid mask (gt>0, optionally < max_depth), alignment modes — median scale,
+least-squares (s,t), **lad2** (L1-optimal (s,t) by Adam, :112-145, the eval
+default), Weiszfeld scale-only (:232-259) — then AbsRel / SqRel / RMSE /
+logRMSE / δ<1.25^k (:302-317).
+
+TPU-first: lad2 runs as a jitted optax Adam loop (`lax.fori_loop`) instead
+of the reference's eager 5000-iteration torch loop; multiple sequences (or
+alignment groups) batch with vmap — the group optimizer's per-group
+disparity calibration calls the batched form once for all groups.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median over masked entries (static-shape friendly: sorts with +inf)."""
+    big = jnp.where(mask, x, jnp.inf)
+    order = jnp.sort(big)
+    n = jnp.sum(mask)
+    return order[jnp.maximum(n // 2, 0)]
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def lad2_align(
+    pred: jnp.ndarray,      # (N,) flattened predicted depth/disparity
+    gt: jnp.ndarray,        # (N,)
+    mask: jnp.ndarray,      # (N,) bool
+    lr: float = 1e-4,
+    max_iters: int = 1000,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """L1-optimal (s, t): minimize Σ_mask |s*pred + t - gt| via Adam.
+
+    Matches absolute_value_scaling2 (depth_eval.py:112-145) with
+    s_init = median(gt)/median(pred). Returns (s, t).
+    """
+    s0 = _masked_median(gt, mask) / jnp.maximum(_masked_median(pred, mask), 1e-12)
+    m = mask.astype(pred.dtype)
+
+    def loss_fn(st):
+        s, t = st[0], st[1]
+        return jnp.sum(jnp.abs(s * pred + t - gt) * m)
+
+    grad_fn = jax.grad(loss_fn)
+
+    def body(_, state):
+        st, mom, vel, step = state
+        g = grad_fn(st)
+        step = step + 1
+        mom = 0.9 * mom + 0.1 * g
+        vel = 0.999 * vel + 0.001 * g * g
+        mhat = mom / (1 - 0.9**step)
+        vhat = vel / (1 - 0.999**step)
+        st = st - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        return st, mom, vel, step
+
+    st0 = jnp.stack([s0, jnp.asarray(0.0, pred.dtype)])
+    st, _, _, _ = jax.lax.fori_loop(
+        0, max_iters, body, (st0, jnp.zeros(2, pred.dtype), jnp.zeros(2, pred.dtype),
+                             jnp.asarray(0.0, pred.dtype))
+    )
+    return st[0], st[1]
+
+
+# batched over a leading group axis — used by the aligner's per-group calib
+lad2_align_batched = jax.jit(
+    jax.vmap(lad2_align, in_axes=(0, 0, 0)), static_argnames=()
+)
+
+
+def lstsq_align(pred, gt, mask):
+    """Least-squares (s, t) on masked entries (depth_eval.py:61-78)."""
+    m = mask.astype(pred.dtype)
+    n = jnp.sum(m)
+    sx = jnp.sum(pred * m)
+    sy = jnp.sum(gt * m)
+    sxx = jnp.sum(pred * pred * m)
+    sxy = jnp.sum(pred * gt * m)
+    det = n * sxx - sx * sx
+    s = (n * sxy - sx * sy) / jnp.maximum(det, 1e-12)
+    t = (sy - s * sx) / jnp.maximum(n, 1.0)
+    return s, t
+
+
+def scale_only_irls(pred, gt, mask, num_iters: int = 10):
+    """Weiszfeld scale-only alignment (depth_eval.py:86-110)."""
+    m = mask.astype(pred.dtype)
+    s = jnp.nanmean(jnp.where(mask, gt, jnp.nan)) / jnp.maximum(
+        jnp.nanmean(jnp.where(mask, pred, jnp.nan)), 1e-12
+    )
+
+    def body(_, s):
+        resid = jnp.abs(s * pred - gt) + 1e-8
+        w = m / resid
+        return jnp.sum(w * pred * gt) / jnp.maximum(jnp.sum(w * pred * pred), 1e-12)
+
+    s = jax.lax.fori_loop(0, num_iters, body, s)
+    return jnp.clip(s, 1e-3, None), jnp.asarray(0.0, pred.dtype)
+
+
+def depth_metrics(pred_aligned, gt, mask) -> Dict[str, float]:
+    """AbsRel/SqRel/RMSE/logRMSE/δ-thresholds over masked pixels
+    (depth_eval.py:302-317). Pure numpy on host (final reporting)."""
+    pred = np.asarray(pred_aligned)[np.asarray(mask)]
+    g = np.asarray(gt)[np.asarray(mask)]
+    pred = np.clip(pred, 1e-8, None)
+    g = np.clip(g, 1e-8, None)
+    abs_rel = float(np.mean(np.abs(pred - g) / g))
+    sq_rel = float(np.mean((pred - g) ** 2 / g))
+    rmse = float(np.sqrt(np.mean((pred - g) ** 2)))
+    log_rmse = float(np.sqrt(np.mean((np.log(pred) - np.log(g)) ** 2)))
+    ratio = np.maximum(pred / g, g / pred)
+    return {
+        "Abs Rel": abs_rel,
+        "Sq Rel": sq_rel,
+        "RMSE": rmse,
+        "Log RMSE": log_rmse,
+        "δ < 1.25": float(np.mean(ratio < 1.25)),
+        "δ < 1.25^2": float(np.mean(ratio < 1.25**2)),
+        "δ < 1.25^3": float(np.mean(ratio < 1.25**3)),
+        "valid_pixels": int(mask.sum()),
+    }
+
+
+def depth_evaluation(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    max_depth: Optional[float] = 80.0,
+    align: str = "lad2",          # 'lad2' | 'lstsq' | 'scale' | 'median' | 'none'
+    custom_mask: Optional[np.ndarray] = None,
+    align_mask: Optional[np.ndarray] = None,
+    lr: float = 1e-4,
+    max_iters: int = 1000,
+    return_st: bool = False,
+) -> Dict[str, float]:
+    """End-to-end evaluation of flattened depth (or disparity) arrays.
+
+    Mirrors the reference call signature semantics: metrics are computed on
+    `custom_mask ∧ valid`, alignment is fit on `align_mask ∧ valid` when
+    given (infer_geo4d.py:537-540 uses a pnt-validity align mask).
+    """
+    pred = np.asarray(pred, np.float32).reshape(-1)
+    gt = np.asarray(gt, np.float32).reshape(-1)
+    valid = gt > 0
+    if max_depth is not None:
+        valid &= gt < max_depth
+    metric_mask = valid if custom_mask is None else (valid & custom_mask.reshape(-1))
+    fit_mask = metric_mask if align_mask is None else (valid & align_mask.reshape(-1))
+
+    pj, gj, mj = jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(fit_mask)
+    if align == "lad2":
+        s, t = lad2_align(pj, gj, mj, lr=lr, max_iters=max_iters)
+    elif align == "lstsq":
+        s, t = lstsq_align(pj, gj, mj)
+    elif align == "scale":
+        s, t = scale_only_irls(pj, gj, mj)
+    elif align == "median":
+        s = _masked_median(gj, mj) / jnp.maximum(_masked_median(pj, mj), 1e-12)
+        t = jnp.asarray(0.0)
+    else:
+        s, t = jnp.asarray(1.0), jnp.asarray(0.0)
+
+    aligned = float(s) * pred + float(t)
+    out = depth_metrics(aligned, gt, metric_mask)
+    if return_st:
+        out["s"] = float(s)
+        out["t"] = float(t)
+    return out

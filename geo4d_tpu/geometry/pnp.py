@@ -69,19 +69,25 @@ def solve_pnp(
     if pts3d.shape[0] < 4:
         return None
     if _HAS_CV2:
-        success, rvec, tvec, inliers = cv2.solvePnPRansac(
-            pts3d.astype(np.float32),
-            pixels.astype(np.float32),
-            K.astype(np.float32),
-            None,
-            iterationsCount=niter,
-            reprojectionError=reproj_err,
-            flags=cv2.SOLVEPNP_SQPNP,
-        )
-        if not success or inliers is None:
-            return None
-        R = cv2.Rodrigues(rvec)[0]
-        return R, tvec.ravel(), len(inliers)
+        # SQPNP (the reference's choice) first; it hard-asserts on some
+        # degenerate inputs in cv2>=5, so fall back to EPNP on error
+        for flag in (cv2.SOLVEPNP_SQPNP, cv2.SOLVEPNP_EPNP):
+            try:
+                success, rvec, tvec, inliers = cv2.solvePnPRansac(
+                    pts3d.astype(np.float32),
+                    pixels.astype(np.float32),
+                    K.astype(np.float32),
+                    None,
+                    iterationsCount=niter,
+                    reprojectionError=reproj_err,
+                    flags=flag,
+                )
+            except cv2.error:
+                continue
+            if success and inliers is not None:
+                R = cv2.Rodrigues(rvec)[0]
+                return R, tvec.ravel(), len(inliers)
+        return None
     out = _pnp_epnp_fallback(pts3d, pixels, K)
     if out is None:
         return None

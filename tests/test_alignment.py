@@ -1,0 +1,146 @@
+"""Group aligner integration test on a synthetic multi-window scene.
+
+Builds a ground-truth scene (smooth depth, moving camera, known focal),
+fabricates per-window predictions by applying a random sim3 per window (the
+exact ambiguity the aligner must undo), runs init + a short optimization,
+and checks the recovered trajectory/depth against ground truth.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from geo4d_tpu.alignment.init import init_from_group
+from geo4d_tpu.alignment.optimizer import AlignerConfig, GroupAligner
+from geo4d_tpu.evals.trajectory import Trajectory, eval_metrics
+from geo4d_tpu.evals.depth import depth_evaluation
+
+
+def build_synthetic_scene(n_frames=8, h=24, w=32, focal=35.0, seed=0):
+    rng = np.random.default_rng(seed)
+    # smooth depth maps
+    yy, xx = np.mgrid[:h, :w]
+    depths = []
+    for i in range(n_frames):
+        d = 3.0 + 0.5 * np.sin(xx / 7 + i * 0.2) + 0.3 * np.cos(yy / 5)
+        depths.append(d)
+    depths = np.stack(depths)
+    # slowly moving camera
+    poses = []
+    for i in range(n_frames):
+        ang = 0.03 * i
+        R = np.array(
+            [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]]
+        )
+        t = np.array([0.1 * i, 0.02 * i, 0.05 * i])
+        P = np.eye(4)
+        P[:3, :3] = R
+        P[:3, 3] = t
+        poses.append(P)
+    poses = np.stack(poses)
+    # unproject to world
+    pts_world = []
+    for i in range(n_frames):
+        x = (xx - w / 2) / focal * depths[i]
+        y = (yy - h / 2) / focal * depths[i]
+        pc = np.stack([x, y, depths[i]], axis=-1).reshape(-1, 3)
+        pw = pc @ poses[i, :3, :3].T + poses[i, :3, 3]
+        pts_world.append(pw.reshape(h, w, 3))
+    return np.stack(pts_world), poses, depths, focal
+
+
+def make_window_preds(pts_world, poses, groups, seed=1):
+    """Per-window predictions: true points in the window's FIRST camera
+    frame, with a random per-window scale — the ambiguity the model's
+    normalized outputs actually carry (each window is predicted in its
+    first-frame camera coordinates up to scale)."""
+    rng = np.random.default_rng(seed)
+    G, S = groups.shape
+    h, w = pts_world.shape[1:3]
+    preds = np.zeros((G, S, h, w, 3))
+    for g in range(G):
+        s = rng.uniform(0.7, 1.5)
+        c2w0 = poses[groups[g, 0]]
+        R_w2c = c2w0[:3, :3].T
+        t_w2c = -R_w2c @ c2w0[:3, 3]
+        for s_idx, img_idx in enumerate(groups[g]):
+            p = pts_world[img_idx].reshape(-1, 3)
+            preds[g, s_idx] = (s * (p @ R_w2c.T + t_w2c)).reshape(h, w, 3)
+    return preds
+
+
+@pytest.fixture(scope="module")
+def synthetic():
+    pts_world, poses, depths, focal = build_synthetic_scene()
+    groups = np.array([[0, 1, 2, 3], [2, 3, 4, 5], [4, 5, 6, 7]])
+    preds = make_window_preds(pts_world, poses, groups)
+    conf = np.ones(preds.shape[:-1])
+    return pts_world, poses, depths, focal, groups, preds, conf
+
+
+def test_init_recovers_geometry(synthetic):
+    pts_world, poses, depths, focal, groups, preds, conf = synthetic
+    h, w = depths.shape[1:]
+    cfg = AlignerConfig(n_iter=0, depth_traj_start_iter=0,
+                        temporal_smoothing_weight=0.0)
+    aligner = GroupAligner(groups, preds, conf, (h, w), config=cfg)
+    init_from_group(aligner, preds, conf, verbose=False)
+    # focal should be near truth
+    f = aligner.get_focals()[0]
+    assert f == pytest.approx(focal, rel=0.2)
+    # init loss should be small: windows registered consistently
+    loss = float(aligner.loss_fn(aligner.params, False))
+    assert loss < 0.1
+    # trajectory ATE (up to global sim3) small
+    est = Trajectory.from_matrices(aligner.get_im_poses())
+    ref = Trajectory.from_matrices(poses)
+    ate, _, _ = eval_metrics(est, ref)
+    # scene scale ~ +/-0.35 translation range; ATE after sim3 align tiny
+    assert ate < 0.05
+
+
+def test_optimization_reduces_loss(synthetic):
+    pts_world, poses, depths, focal, groups, preds, conf = synthetic
+    h, w = depths.shape[1:]
+    cfg = AlignerConfig(n_iter=60, depth_traj_start_iter=60, lr=0.01,
+                        temporal_smoothing_weight=0.0)
+    aligner = GroupAligner(groups, preds, conf, (h, w), config=cfg)
+    init_from_group(aligner, preds, conf)
+    loss0 = float(aligner.loss_fn(aligner.params, False))
+    final = aligner.run()
+    assert final < loss0
+    # depth quality after optimization: scale-aligned AbsRel small
+    pred_depth = aligner.get_depthmaps()
+    out = depth_evaluation(pred_depth.ravel(), depths.ravel(), align="scale",
+                           max_depth=None)
+    assert out["Abs Rel"] < 0.05
+
+
+def test_two_phase_with_depth_traj(synthetic):
+    """Full two-phase run with inverse-depth + trajectory anchors."""
+    pts_world, poses, depths, focal, groups, preds, conf = synthetic
+    h, w = depths.shape[1:]
+    G, S = groups.shape
+    # diffusion inverse depth: true disparity, arbitrarily scaled per window
+    invd = np.zeros((G, S, h, w))
+    trajs = np.zeros((G, S, 4, 4))
+    rng = np.random.default_rng(7)
+    for g in range(G):
+        sc = rng.uniform(0.5, 2.0)
+        for s_idx, i in enumerate(groups[g]):
+            invd[g, s_idx] = (1.0 / depths[i]) * sc
+            trajs[g, s_idx] = poses[i]  # perfect relative cameras
+    cfg = AlignerConfig(n_iter=40, depth_traj_start_iter=20, lr=0.005,
+                        temporal_smoothing_weight=0.015)
+    aligner = GroupAligner(groups, preds, conf, (h, w), invdepth=invd,
+                           trajs=trajs, config=cfg)
+    init_from_group(aligner, preds, conf)
+    final = aligner.run()
+    assert np.isfinite(final)
+    # calibration found per-window disparity scales
+    assert np.all(np.asarray(aligner.params["s_depth"]) > 0)
+    # outputs honor the results contract shapes
+    assert aligner.get_tum_poses().shape == (8, 8)
+    assert aligner.get_depthmaps().shape == (8, h, w)
+    assert aligner.get_intrinsics().shape == (8, 3, 3)
+    assert aligner.get_pts3d().shape == (8, h, w, 3)

@@ -1,0 +1,139 @@
+"""Depth + trajectory metric tests on synthetic data."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from geo4d_tpu.evals.depth import (
+    depth_evaluation,
+    lad2_align,
+    lstsq_align,
+    scale_only_irls,
+)
+from geo4d_tpu.evals.trajectory import (
+    Trajectory,
+    align_trajectory_with_eval,
+    ape_translation_rmse,
+    eval_metrics,
+    rpe,
+    quat_wxyz_to_rotmat,
+    rotmat_to_quat_wxyz,
+)
+
+
+def make_traj(n=20, seed=0, noise=0.0):
+    rng = np.random.default_rng(seed)
+    ts = np.arange(n, dtype=np.float64)
+    pos = np.cumsum(rng.normal(scale=0.3, size=(n, 3)), axis=0)
+    rots = []
+    R = np.eye(3)
+    for _ in range(n):
+        w = rng.normal(scale=0.05, size=3)
+        Wx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        from scipy.linalg import expm
+
+        R = R @ expm(Wx)
+        rots.append(R.copy())
+    if noise:
+        pos = pos + rng.normal(scale=noise, size=pos.shape)
+    return Trajectory(pos, np.stack(rots), ts)
+
+
+def test_quat_roundtrip_traj(rng):
+    t = make_traj(8)
+    q = rotmat_to_quat_wxyz(t.rotations)
+    R2 = quat_wxyz_to_rotmat(q)
+    assert np.allclose(R2, t.rotations, atol=1e-8)
+
+
+def test_tum_roundtrip():
+    t = make_traj(10)
+    t2 = Trajectory.from_tum(t.to_tum())
+    assert np.allclose(t2.positions, t.positions, atol=1e-8)
+    assert np.allclose(t2.rotations, t.rotations, atol=1e-8)
+
+
+def test_ate_zero_for_sim3_transformed():
+    """ATE with sim3 alignment is invariant to a global sim3."""
+    t = make_traj(20)
+    T = np.eye(4)
+    ang = 0.7
+    T[:3, :3] = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]]
+    )
+    T[:3, 3] = [3, -1, 2]
+    t2 = t.transformed(T, scale=2.0)
+    ate, rpe_t, rpe_r = eval_metrics(t2, t)
+    assert ate == pytest.approx(0.0, abs=1e-6)
+    assert rpe_t == pytest.approx(0.0, abs=1e-6)
+    assert rpe_r == pytest.approx(0.0, abs=1e-5)
+
+
+def test_ate_measures_noise():
+    t = make_traj(50)
+    t_noisy = make_traj(50, noise=0.05)
+    ate, _, _ = eval_metrics(t_noisy, t)
+    assert 0.005 < ate < 0.2
+
+
+def test_align_origin():
+    t = make_traj(10)
+    T = np.eye(4)
+    T[:3, 3] = [1, 2, 3]
+    t2 = t.transformed(T)
+    ate, rpe_t, rpe_r, P, aligned = align_trajectory_with_eval(t2, t)
+    assert ate == pytest.approx(0.0, abs=1e-8)
+    assert np.allclose(aligned.positions, t.positions, atol=1e-8)
+    assert np.allclose(P @ T, np.eye(4), atol=1e-8)
+
+
+def test_rpe_detects_relative_error():
+    t = make_traj(30)
+    # corrupt one relative motion
+    pos = t.positions.copy()
+    pos[15:] += np.array([0.5, 0, 0]) @ np.eye(3)
+    t_bad = Trajectory(pos, t.rotations, t.timestamps)
+    rpe_t_bad, _ = rpe(t_bad, t, align=False)
+    assert rpe_t_bad > 0.05
+
+
+# ---------------- depth ----------------
+
+def test_lad2_recovers_scale_shift(rng):
+    gt = rng.uniform(1, 10, size=2000).astype(np.float32)
+    pred = (gt - 0.5) / 2.0
+    s, t = lad2_align(jnp.asarray(pred), jnp.asarray(gt),
+                      jnp.ones(2000, bool), lr=1e-2, max_iters=3000)
+    assert float(s) == pytest.approx(2.0, rel=0.05)
+    assert float(t) == pytest.approx(0.5, abs=0.1)
+
+
+def test_lstsq_align_exact(rng):
+    gt = rng.uniform(1, 10, size=500).astype(np.float32)
+    pred = (gt - 1.5) / 3.0
+    s, t = lstsq_align(jnp.asarray(pred), jnp.asarray(gt), jnp.ones(500, bool))
+    assert float(s) == pytest.approx(3.0, rel=1e-4)
+    assert float(t) == pytest.approx(1.5, abs=1e-3)
+
+
+def test_scale_only(rng):
+    gt = rng.uniform(1, 10, size=500).astype(np.float32)
+    pred = gt / 4.0
+    s, t = scale_only_irls(jnp.asarray(pred), jnp.asarray(gt), jnp.ones(500, bool))
+    assert float(s) == pytest.approx(4.0, rel=1e-3)
+
+
+def test_depth_evaluation_perfect(rng):
+    gt = rng.uniform(1, 30, size=(4, 16, 16)).astype(np.float32)
+    out = depth_evaluation(gt * 2.0 + 1.0, gt, align="lstsq")
+    assert out["Abs Rel"] == pytest.approx(0.0, abs=1e-5)
+    assert out["δ < 1.25"] == pytest.approx(1.0)
+
+
+def test_depth_evaluation_masking(rng):
+    gt = rng.uniform(1, 30, size=1000).astype(np.float32)
+    gt[::3] = 0.0  # invalid
+    pred = gt.copy()
+    out = depth_evaluation(pred, gt, align="none")
+    assert out["valid_pixels"] == int((gt > 0).sum())
+    assert out["Abs Rel"] == pytest.approx(0.0, abs=1e-6)
