@@ -157,9 +157,10 @@ def init_from_group(
         pw_scales.append(float(s))
 
     # global scale normalization so mean window scale == base_scale
-    s_factor = float(
-        np.exp(np.log(cfg.base_scale) - np.mean(np.log(np.asarray(pw_scales))))
-    )
+    scales = np.clip(np.asarray(pw_scales), 1e-6, 1e6)
+    s_factor = float(np.exp(np.log(cfg.base_scale) - np.mean(np.log(scales))))
+    if not np.isfinite(s_factor):
+        s_factor = 1.0
     im_poses_arr[:, :3, 3] *= s_factor
     for i in range(N):
         pts3d[i] = pts3d[i] * s_factor

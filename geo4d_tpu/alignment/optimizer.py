@@ -203,13 +203,20 @@ class GroupAligner:
         )
 
     @staticmethod
-    def _rel_pose_loss(RT1, RT2, translation_weight):
+    def _safe_norm(x, axis=-1):
+        """L2 norm with a finite gradient at 0 (jnp.linalg.norm's gradient
+        is NaN at exactly 0 — hit by identical adjacent poses / perfectly
+        matched points)."""
+        return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-12)
+
+    @classmethod
+    def _rel_pose_loss(cls, RT1, RT2, translation_weight):
         """Frobenius(R_rel - I) + w*|t_rel| (optimizer_group.py:529-542)."""
         rel = jnp.einsum("nij,njk->nik", inv_se3(RT1), RT2)
         rot = jnp.sqrt(
             jnp.sum((rel[:, :3, :3] - jnp.eye(3)) ** 2, axis=(-2, -1)) + 1e-12
         )
-        trans = jnp.linalg.norm(rel[:, :3, 3], axis=-1)
+        trans = cls._safe_norm(rel[:, :3, 3])
         return rot + translation_weight * trans
 
     # ---------------- loss ----------------
@@ -227,7 +234,7 @@ class GroupAligner:
             w = jnp.minimum(w, cfg.conf_clamp)
         proj_e = proj[self.buf["e_all"]].reshape(self.G, self.S, self.P, 3)
         li = (
-            jnp.sum(jnp.linalg.norm(proj_e - aligned, axis=-1) * w) / self.total_area
+            jnp.sum(self._safe_norm(proj_e - aligned) * w) / self.total_area
         )
 
         depth_loss = 0.0
@@ -437,8 +444,9 @@ class GroupAligner:
         self.params["pw_poses"] = self.params["pw_poses"].at[g].set(row)
 
     def set_depthmap(self, idx: int, depth: np.ndarray):
-        d = np.log(np.clip(np.asarray(depth, np.float32).reshape(-1), 1e-8, None))
-        d = np.nan_to_num(d, neginf=0.0)
+        d = np.nan_to_num(np.asarray(depth, np.float32).reshape(-1), nan=1.0,
+                          posinf=1e4, neginf=1e-6)
+        d = np.log(np.clip(d, 1e-6, 1e6))
         self.params["log_depth"] = self.params["log_depth"].at[idx].set(
             jnp.asarray(d)
         )

@@ -1,0 +1,85 @@
+"""Shared CLI plumbing: model building, checkpoint loading, conditioning."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def build_model_and_params(
+    ckpt_path: Optional[str] = None,
+    vae_ckpt_path: Optional[str] = None,
+    image_size: Tuple[int, int] = (256, 576),
+    seed: int = 123,
+    verbose: bool = True,
+):
+    """Flagship GeoDiffusion + params: converted from torch checkpoints when
+    given (infer_geo4d.py:53-80 + :330-347 loading semantics), else random."""
+    import jax
+
+    from geo4d_tpu.models.convert import (
+        clip_text_torch_key,
+        clip_vision_torch_key,
+        convert_state_dict,
+        resampler_torch_key,
+        strip_prefixes,
+        unet_torch_key,
+        vae_torch_key,
+    )
+    from geo4d_tpu.models.presets import flagship, init_params
+
+    model = flagship()
+    params = init_params(model, jax.random.PRNGKey(seed), image_size)
+
+    if ckpt_path and os.path.exists(ckpt_path):
+        import torch
+
+        sd = strip_prefixes(torch.load(ckpt_path, map_location="cpu",
+                                       weights_only=False))
+        reports = {}
+        for name, key_fn, prefix in [
+            ("unet", unet_torch_key, "model.diffusion_model."),
+            ("vae", vae_torch_key, "first_stage_model."),
+            ("clip_text", clip_text_torch_key, "cond_stage_model.model."),
+            ("clip_img", clip_vision_torch_key, "embedder.model."),
+            ("resampler", resampler_torch_key, "image_proj_model."),
+        ]:
+            params[name], missing, used = convert_state_dict(
+                sd, params[name], key_fn, prefix
+            )
+            reports[name] = (len(missing), len(used))
+        if verbose:
+            for name, (m, u) in reports.items():
+                print(f"[ckpt] {name}: {u} tensors loaded, {m} missing")
+
+    if vae_ckpt_path and os.path.exists(vae_ckpt_path):
+        import torch
+
+        raw = torch.load(vae_ckpt_path, map_location="cpu", weights_only=False)
+        raw = raw.get("state_dict", raw)
+        # vae.ckpt keys are 'model.'-prefixed (infer_geo4d.py:342-346)
+        sd = {k[6:]: v for k, v in raw.items() if k.startswith("model.")}
+        params["pointmap_vae"], missing, used = convert_state_dict(
+            sd, params["pointmap_vae"], vae_torch_key
+        )
+        if verbose:
+            print(f"[ckpt] pointmap_vae: {used and len(used)} loaded, "
+                  f"{len(missing)} missing")
+    return model, params
+
+
+def compute_text_context(model, params, prompt: str, bpe_path: Optional[str] = None):
+    """Prompt -> (1, 77, ctx_dim) context via BPE tokenize + text tower."""
+    import jax
+    import jax.numpy as jnp
+
+    from geo4d_tpu.data.tokenizer import CLIPTokenizer
+
+    if "clip_text" not in params:
+        return np.zeros((1, 77, model.unet.context_dim), np.float32)
+    tok = CLIPTokenizer(bpe_path)
+    ids = tok([prompt])
+    ctx = jax.jit(model.text_encoder.apply)(params["clip_text"], jnp.asarray(ids))
+    return np.asarray(ctx)

@@ -1,0 +1,194 @@
+"""Benchmark evaluation CLI: dataset -> depth + pose metrics.
+
+Parity target: reference scripts/eval_geo4d.sh + scripts/evaluation/
+infer_geo4d.py `run_evaluation` (:314-648): per-sequence sliding-window
+inference + alignment, depth eval with GT-resolution resize (kitti: no
+max-depth clamp + lad2; others: max 70m + lad2 with point-validity align
+mask, :537-540), per-sequence ATE/RPE on the Sintel pose subset (:574),
+valid-pixel-weighted metric averaging (:614-622), append-mode error logs
+(_error_log*.txt) and time_cost.txt (:640-648).
+
+Usage:
+  python -m geo4d_tpu.cli.evaluate --dataset sintel --data_root ./data/sintel \
+      --savedir eval_out [--ckpt_path model.ckpt --vae_path vae.ckpt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="geo4d_tpu benchmark evaluation")
+    p.add_argument("--dataset", type=str, required=True,
+                   choices=["sintel", "bonn", "kitti", "tum", "scannet", "davis"])
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--savedir", type=str, default="eval_results")
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--vae_path", type=str, default=None)
+    p.add_argument("--bpe_path", type=str, default=None)
+    p.add_argument("--seq_list", type=str, nargs="*", default=None)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--ddim_steps", type=int, default=5)
+    p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--unconditional_guidance_scale", type=float, default=1.0)
+    p.add_argument("--timestep_spacing", type=str, default="uniform_trailing")
+    p.add_argument("--guidance_rescale", type=float, default=0.7)
+    p.add_argument("--stride", type=int, default=4)
+    p.add_argument("--video_length", type=int, default=16)
+    p.add_argument("--n_iter", type=int, default=500)
+    p.add_argument("--window_batch", type=int, default=1)
+    p.add_argument("--max_frames", type=int, default=-1)
+    p.add_argument("--use_gt_focal", action="store_true")
+    p.add_argument("--full_seq", action="store_true")
+    p.add_argument("--perframe_ae", action="store_true")  # compat no-op
+    return p
+
+
+def resize_depth_to_gt(pred_depth: np.ndarray, gt_hw) -> np.ndarray:
+    """Bicubic resize predicted depth to GT resolution (infer_geo4d.py:519-529)."""
+    import cv2
+
+    out = np.stack(
+        [
+            cv2.resize(d, (gt_hw[1], gt_hw[0]), interpolation=cv2.INTER_CUBIC)
+            for d in pred_depth
+        ]
+    )
+    return out
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    from geo4d_tpu.alignment.optimizer import AlignerConfig
+    from geo4d_tpu.cli.common import build_model_and_params, compute_text_context
+    from geo4d_tpu.data.datasets import (
+        DATASET_FPS,
+        DATASET_RESOLUTION,
+        DEFAULT_PROMPT,
+        SINTEL_POSE_SEQS,
+        list_sequences,
+        load_eval_sequence,
+    )
+    from geo4d_tpu.evals.depth import depth_evaluation
+    from geo4d_tpu.evals.trajectory import Trajectory, eval_metrics
+    from geo4d_tpu.pipeline.export import save_results_dir, save_time_cost
+    from geo4d_tpu.pipeline.inference import InferenceConfig, reconstruct
+
+    w, h = DATASET_RESOLUTION[args.dataset]
+    model, params = build_model_and_params(
+        args.ckpt_path, args.vae_path, (h, w), args.seed
+    )
+    text_ctx = compute_text_context(model, params, DEFAULT_PROMPT, args.bpe_path)
+
+    icfg = InferenceConfig(
+        window=args.video_length, stride=args.stride,
+        ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta,
+        cfg_scale=args.unconditional_guidance_scale,
+        timestep_spacing=args.timestep_spacing,
+        guidance_rescale=args.guidance_rescale,
+        window_batch=args.window_batch,
+    )
+    acfg = AlignerConfig(n_iter=args.n_iter)
+
+    seqs = args.seq_list or list_sequences(args.dataset, args.data_root)
+    os.makedirs(args.savedir, exist_ok=True)
+    depth_log = os.path.join(args.savedir, "_error_log_depth.txt")
+    pose_log = os.path.join(args.savedir, "_error_log.txt")
+
+    depth_rows = []   # (metrics dict, weight)
+    pose_rows = []    # (ate, rpe_t, rpe_r)
+    total_time = {"diffusion_s": 0.0, "alignment_s": 0.0, "frames": 0.0}
+
+    for seq in seqs:
+        sample = load_eval_sequence(
+            args.dataset, args.data_root, seq, max_frames=args.max_frames
+        )
+        if sample.frames.shape[0] < args.video_length:
+            print(f"[eval] skip {seq}: too short")
+            continue
+        print(f"[eval] {seq}: {sample.frames.shape[0]} frames")
+        intr = sample.intrinsics if args.use_gt_focal else None
+        scene, preds, timing = reconstruct(
+            model, params, sample.frames, text_ctx, fps=sample.fps,
+            inference_config=icfg, aligner_config=acfg, seed=args.seed,
+            intrinsics=intr,
+        )
+        for k in ("diffusion_s", "alignment_s", "frames"):
+            total_time[k] += timing[k]
+        save_results_dir(
+            os.path.join(args.savedir, seq), scene, rgb_frames=sample.frames,
+            save_glb=False,
+        )
+
+        # ---- depth metrics ----
+        if sample.gt_depth is not None:
+            n = min(len(sample.gt_depth), scene.N)
+            pred_d = resize_depth_to_gt(
+                scene.get_depthmaps()[:n], sample.gt_depth.shape[1:]
+            )
+            gt_d = sample.gt_depth[:n]
+            if args.dataset == "kitti":
+                res = depth_evaluation(pred_d, gt_d, max_depth=None, align="lad2")
+            else:
+                res = depth_evaluation(pred_d, gt_d, max_depth=70.0, align="lad2")
+            depth_rows.append(res)
+            with open(depth_log, "a") as f:
+                f.write(f"{seq}: {res}\n")
+            print(f"[eval] {seq} AbsRel {res['Abs Rel']:.4f} "
+                  f"δ<1.25 {res['δ < 1.25']:.4f}")
+
+        # ---- pose metrics ----
+        eval_pose = sample.gt_traj is not None and (
+            args.dataset != "sintel" or seq in SINTEL_POSE_SEQS
+        )
+        if eval_pose:
+            try:
+                pred_traj = Trajectory.from_tum(scene.get_tum_poses())
+                gt = Trajectory.from_tum(sample.gt_traj[: scene.N])
+                n = min(len(pred_traj.positions), len(gt.positions))
+                pred_traj = Trajectory(
+                    pred_traj.positions[:n], pred_traj.rotations[:n],
+                    pred_traj.timestamps[:n],
+                )
+                gt = Trajectory(gt.positions[:n], gt.rotations[:n], gt.timestamps[:n])
+                ate, rpe_t, rpe_r = eval_metrics(pred_traj, gt)
+                pose_rows.append((ate, rpe_t, rpe_r))
+                with open(pose_log, "a") as f:
+                    f.write(f"{seq}: ATE {ate:.5f} RPE_t {rpe_t:.5f} "
+                            f"RPE_r {rpe_r:.5f}\n")
+                print(f"[eval] {seq} ATE {ate:.4f} RPE_t {rpe_t:.4f} "
+                      f"RPE_r {rpe_r:.4f}")
+            except Exception as e:  # one bad sequence must not kill the run
+                print(f"[eval] pose eval failed for {seq}: {e}")
+
+    # ---- aggregate (valid-pixel-weighted means, infer_geo4d.py:614-625) ----
+    summary_path = os.path.join(args.savedir, "_error_log_all.txt")
+    with open(summary_path, "w") as f:
+        if depth_rows:
+            weights = np.asarray([r["valid_pixels"] for r in depth_rows], np.float64)
+            weights /= weights.sum()
+            for key in ("Abs Rel", "Sq Rel", "RMSE", "Log RMSE",
+                        "δ < 1.25", "δ < 1.25^2", "δ < 1.25^3"):
+                val = float(sum(w * r[key] for w, r in zip(weights, depth_rows)))
+                f.write(f"{key}: {val:.5f}\n")
+                print(f"[eval] weighted {key}: {val:.5f}")
+        if pose_rows:
+            arr = np.asarray(pose_rows)
+            for i, name in enumerate(["ATE", "RPE_trans", "RPE_rot"]):
+                f.write(f"{name}: {arr[:, i].mean():.5f}\n")
+                print(f"[eval] mean {name}: {arr[:, i].mean():.5f}")
+    if total_time["frames"]:
+        total_time["sec_per_frame"] = (
+            total_time["diffusion_s"] + total_time["alignment_s"]
+        ) / total_time["frames"]
+        save_time_cost(os.path.join(args.savedir, "time_cost.txt"), total_time)
+        print(f"[eval] {total_time['sec_per_frame']:.3f} sec/frame")
+
+
+if __name__ == "__main__":
+    main()

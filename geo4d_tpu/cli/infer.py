@@ -1,0 +1,119 @@
+"""Demo inference CLI: video file -> 4D reconstruction results dir.
+
+Parity target: reference scripts/infer_geo4d.sh + scripts/evaluation/
+test_geo4d.py (run_inference :314-534, arg surface :571-604). Defaults
+match the shipped preset: seed 123, 5 DDIM steps, eta 0, cfg 1.0,
+uniform_trailing spacing, guidance_rescale 0.7, window 16 / stride 4.
+
+Usage:
+  python -m geo4d_tpu.cli.infer --video_path video.mp4 --savedir results \
+      [--ckpt_path model.ckpt --vae_path vae.ckpt --bpe_path bpe.txt.gz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="geo4d_tpu video -> 4D inference")
+    p.add_argument("--video_path", type=str, required=True)
+    p.add_argument("--savedir", type=str, default="results")
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--vae_path", type=str, default=None)
+    p.add_argument("--bpe_path", type=str, default=None)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--ddim_steps", type=int, default=5)
+    p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--unconditional_guidance_scale", type=float, default=1.0)
+    p.add_argument("--cfg_img", type=float, default=None)
+    p.add_argument("--multiple_cond_cfg", action="store_true")
+    p.add_argument("--timestep_spacing", type=str, default="uniform_trailing")
+    p.add_argument("--guidance_rescale", type=float, default=0.7)
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--video_length", type=int, default=16)
+    p.add_argument("--stride", type=int, default=4)
+    p.add_argument("--frame_sampling_stride", type=int, default=1)
+    p.add_argument("--max_video_frames", type=int, default=-1)
+    p.add_argument("--n_iter", type=int, default=500, help="alignment iters")
+    p.add_argument("--window_batch", type=int, default=1)
+    p.add_argument(
+        "--prompt",
+        type=str,
+        default="Output a video that assigns each 3D location in the world a consistent color.",
+    )
+    p.add_argument("--text_input", action="store_true", default=True)
+    # accepted for reference-CLI compatibility; XLA manages memory itself
+    p.add_argument("--perframe_ae", action="store_true")
+    p.add_argument("--bs", type=int, default=1)
+    p.add_argument("--tiny", action="store_true",
+                   help="smoke-test with a miniature model (random weights)")
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    from geo4d_tpu.alignment.optimizer import AlignerConfig
+    from geo4d_tpu.cli.common import build_model_and_params, compute_text_context
+    from geo4d_tpu.data.video import load_video
+    from geo4d_tpu.pipeline.export import save_results_dir, save_time_cost
+    from geo4d_tpu.pipeline.inference import InferenceConfig, reconstruct
+
+    seq = os.path.splitext(os.path.basename(args.video_path))[0]
+    out_dir = os.path.join(args.savedir, seq, seq)
+
+    frames, fps = load_video(
+        args.video_path,
+        frame_stride=args.frame_sampling_stride,
+        video_size=(args.height, args.width),
+        max_frames=args.max_video_frames,
+    )
+    print(f"[infer] {frames.shape[0]} frames @ {fps} fps, {frames.shape[1:3]}")
+
+    if args.tiny:
+        import jax
+
+        from geo4d_tpu.models.presets import init_params, tiny
+
+        model = tiny(temporal_length=args.video_length)
+        params = init_params(
+            model, jax.random.PRNGKey(args.seed),
+            (args.height, args.width), temporal_length=args.video_length,
+        )
+    else:
+        model, params = build_model_and_params(
+            args.ckpt_path, args.vae_path, (args.height, args.width), args.seed
+        )
+    if args.ckpt_path is None:
+        print("[infer] WARNING: no checkpoint given — random weights")
+    text_ctx = compute_text_context(
+        model, params, args.prompt if args.text_input else "", args.bpe_path
+    )
+
+    icfg = InferenceConfig(
+        window=args.video_length,
+        stride=args.stride,
+        ddim_steps=args.ddim_steps,
+        ddim_eta=args.ddim_eta,
+        cfg_scale=args.unconditional_guidance_scale,
+        cfg_img=args.cfg_img if args.multiple_cond_cfg else None,
+        timestep_spacing=args.timestep_spacing,
+        guidance_rescale=args.guidance_rescale,
+        window_batch=args.window_batch,
+    )
+    acfg = AlignerConfig(n_iter=args.n_iter)
+    scene, preds, timing = reconstruct(
+        model, params, frames, text_ctx, fps=fps,
+        inference_config=icfg, aligner_config=acfg, seed=args.seed, verbose=True,
+    )
+    save_results_dir(out_dir, scene, rgb_frames=frames)
+    save_time_cost(os.path.join(args.savedir, seq, "time_cost.txt"), timing)
+    print(f"[infer] results -> {out_dir} "
+          f"({timing['sec_per_frame']:.2f}s/frame)")
+
+
+if __name__ == "__main__":
+    main()

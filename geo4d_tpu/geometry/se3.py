@@ -122,6 +122,8 @@ def umeyama_sim3(
     """
     n = src.shape[0]
     w = jnp.ones((n,), src.dtype) if weights is None else weights
+    # degenerate weights (all ~0) fall back to uniform
+    w = jnp.where(jnp.sum(w) > 1e-8, w, jnp.ones_like(w))
     w = w / (jnp.sum(w) + 1e-12)
     mu_s = jnp.einsum("n,ni->i", w, src)
     mu_d = jnp.einsum("n,ni->i", w, dst)
@@ -137,6 +139,8 @@ def umeyama_sim3(
     if with_scale:
         var_s = jnp.einsum("n,ni->", w, xs**2)
         s = jnp.sum(D * jnp.diag(S)) / (var_s + 1e-12)
+        # collapsed/degenerate point sets must not produce s=0 or inf
+        s = jnp.clip(jnp.nan_to_num(s, nan=1.0), 1e-6, 1e6)
     else:
         s = jnp.asarray(1.0, src.dtype)
     t = mu_d - s * R @ mu_s

@@ -47,7 +47,11 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
+        # largest group count <= num_groups dividing C (real configs are
+        # always divisible by 32; tiny test configs may not be)
         groups = min(self.num_groups, x.shape[-1])
+        while x.shape[-1] % groups:
+            groups -= 1
         y = nn.GroupNorm(
             num_groups=groups,
             epsilon=self.epsilon,

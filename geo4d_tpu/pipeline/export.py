@@ -1,0 +1,149 @@
+"""Results export honoring the reference's file contract.
+
+Parity target: reference dust3r/cloud_opt/base_opt_group.py:383-464
+(save_tum_poses / save_focals / save_intrinsics / save_depth_maps /
+save_conf_maps / save_init_conf_maps / save_rgb_imgs) — these exact files
+are what the vendored viser visualizer reads
+(viser/src/viser/extras/_record3d_customized.py:18-…):
+  pred_traj.txt        TUM rows
+  pred_focal.txt       one focal per line
+  pred_intrinsics.txt  flattened 3x3 per line
+  frame_XXXX.npy       per-frame depth (H, W) float32
+  conf_XXXX.npy        per-frame confidence
+  init_conf_XXXX.npy   initial confidence
+  frame_XXXX.png       rgb frame
+  scene.glb            point-cloud export (dust3r/demo.py:56-86)
+
+The GLB writer is self-contained (no trimesh): a minimal glTF 2.0 binary
+with POSITION + COLOR_0 point primitives.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+
+def save_results_dir(
+    out_dir: str,
+    aligner,
+    rgb_frames: Optional[np.ndarray] = None,   # (N, H, W, 3) in [-1, 1]
+    save_glb: bool = True,
+    conf_threshold: float = 1e-3,
+):
+    os.makedirs(out_dir, exist_ok=True)
+    np.savetxt(os.path.join(out_dir, "pred_traj.txt"), aligner.get_tum_poses())
+    np.savetxt(os.path.join(out_dir, "pred_focal.txt"), aligner.get_focals())
+    K = aligner.get_intrinsics()
+    np.savetxt(os.path.join(out_dir, "pred_intrinsics.txt"), K.reshape(len(K), 9))
+
+    depths = aligner.get_depthmaps()
+    confs = aligner.get_conf()
+    init_confs = aligner.get_init_conf()
+    for i in range(len(depths)):
+        np.save(os.path.join(out_dir, f"frame_{i:04d}.npy"), depths[i])
+        np.save(os.path.join(out_dir, f"conf_{i:04d}.npy"), confs[i])
+        np.save(os.path.join(out_dir, f"init_conf_{i:04d}.npy"), init_confs[i])
+
+    if rgb_frames is not None:
+        try:
+            from PIL import Image
+
+            for i in range(len(rgb_frames)):
+                img = ((rgb_frames[i] + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
+                Image.fromarray(img).save(
+                    os.path.join(out_dir, f"frame_{i:04d}.png")
+                )
+        except ImportError:
+            pass
+
+    if save_glb:
+        pts = aligner.get_pts3d().reshape(-1, 3)
+        mask = (confs > conf_threshold).reshape(-1)
+        if rgb_frames is not None:
+            colors = ((rgb_frames + 1) / 2).clip(0, 1).reshape(-1, 3)
+        else:
+            colors = np.full_like(pts, 0.5)
+        write_pointcloud_glb(
+            os.path.join(out_dir, "scene.glb"), pts[mask], colors[mask]
+        )
+
+
+def write_pointcloud_glb(path: str, points: np.ndarray, colors: np.ndarray):
+    """Minimal binary glTF point cloud (POINTS primitive, POSITION+COLOR_0)."""
+    points = np.asarray(points, np.float32)
+    colors = np.asarray(colors, np.float32)
+    n = len(points)
+    pos_bytes = points.tobytes()
+    col_bytes = colors.tobytes()
+    bin_data = pos_bytes + col_bytes
+    pad = (4 - len(bin_data) % 4) % 4
+    bin_data += b"\x00" * pad
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "geo4d_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [
+            {
+                "primitives": [
+                    {
+                        "attributes": {"POSITION": 0, "COLOR_0": 1},
+                        "mode": 0,  # POINTS
+                    }
+                ]
+            }
+        ],
+        "accessors": [
+            {
+                "bufferView": 0,
+                "componentType": 5126,
+                "count": n,
+                "type": "VEC3",
+                "min": points.min(0).tolist() if n else [0, 0, 0],
+                "max": points.max(0).tolist() if n else [0, 0, 0],
+            },
+            {
+                "bufferView": 1,
+                "componentType": 5126,
+                "count": n,
+                "type": "VEC3",
+            },
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos_bytes)},
+            {
+                "buffer": 0,
+                "byteOffset": len(pos_bytes),
+                "byteLength": len(col_bytes),
+            },
+        ],
+        "buffers": [{"byteLength": len(bin_data)}],
+    }
+    json_data = json.dumps(gltf).encode()
+    json_pad = (4 - len(json_data) % 4) % 4
+    json_data += b" " * json_pad
+
+    total = 12 + 8 + len(json_data) + 8 + len(bin_data)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))      # glTF header
+        f.write(struct.pack("<II", len(json_data), 0x4E4F534A))  # JSON chunk
+        f.write(json_data)
+        f.write(struct.pack("<II", len(bin_data), 0x004E4942))   # BIN chunk
+        f.write(bin_data)
+
+
+def save_time_cost(path: str, timing: dict):
+    """time_cost.txt contract (infer_geo4d.py:640-648)."""
+    with open(path, "a") as f:
+        f.write(
+            f"diffusion {timing['diffusion_s']:.3f}s "
+            f"alignment {timing['alignment_s']:.3f}s "
+            f"frames {int(timing['frames'])} "
+            f"sec/frame {timing['sec_per_frame']:.4f}\n"
+        )

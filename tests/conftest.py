@@ -1,22 +1,34 @@
-"""Test harness config: force CPU with 8 virtual devices so mesh/sharding
-tests run without TPU hardware (SURVEY.md §4 test strategy)."""
+"""Test harness config.
+
+This box has ONE vCPU — XLA:CPU compiles of large graphs are minutes-slow —
+so tests run on the default backend (the TPU chip when available, with fast
+remote compiles) and only mesh/sharding tests use the 8 virtual CPU devices
+(which coexist with the TPU backend via --xla_force_host_platform_device_count;
+SURVEY.md §4 test strategy).
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402  (import after env is set)
 
+# keep f32 matmuls at f32 accuracy on the MXU so numeric tests hold on TPU
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def cpu_devices(n: int = 8):
+    """The virtual CPU mesh devices for sharding tests."""
+    return jax.devices("cpu")[:n]
 
 
 @pytest.fixture

@@ -13,12 +13,12 @@ def test_text_encoder_shape_and_causality():
     enc = CLIPTextEncoder(vocab_size=100, width=32, heads=4, layers=2,
                           context_length=16, dtype=jnp.float32)
     ids = jnp.asarray(np.random.default_rng(0).integers(0, 100, size=(2, 16)))
-    params = enc.init(jax.random.PRNGKey(0), ids)
-    out = enc.apply(params, ids)
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), ids)
+    out = jax.jit(enc.apply)(params, ids)
     assert out.shape == (2, 16, 32)
     # causality: changing a later token must not affect earlier positions
     ids2 = ids.at[:, 10].set((ids[:, 10] + 1) % 100)
-    out2 = enc.apply(params, ids2)
+    out2 = jax.jit(enc.apply)(params, ids2)
     assert np.allclose(np.asarray(out[:, :10]), np.asarray(out2[:, :10]), atol=1e-5)
     assert not np.allclose(np.asarray(out[:, 10:]), np.asarray(out2[:, 10:]))
 
@@ -27,8 +27,8 @@ def test_vision_encoder_token_count():
     enc = CLIPVisionEncoder(width=32, heads=4, layers=2, patch_size=14,
                             image_size=224, dtype=jnp.float32)
     x = jnp.zeros((1, 224, 224, 3))
-    params = enc.init(jax.random.PRNGKey(0), x)
-    out = enc.apply(params, x)
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(enc.apply)(params, x)
     # 16x16 patches + class token = 257 (the reference's [B,257,1280] contract)
     assert out.shape == (1, 257, 32)
 
@@ -46,8 +46,8 @@ def test_resampler_framewise_shape():
                    embedding_dim=16, output_dim=32, video_length=3,
                    dtype=jnp.float32)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 10, 16)), jnp.float32)
-    params = rs.init(jax.random.PRNGKey(0), x)
-    out = rs.apply(params, x)
+    params = jax.jit(rs.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(rs.apply)(params, x)
     assert out.shape == (2, 3 * 4, 32)  # (B, T*num_queries, out)
 
 
@@ -57,9 +57,9 @@ def test_resampler_frames_independent():
                    embedding_dim=8, output_dim=16, video_length=2,
                    dtype=jnp.float32)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 2, 5, 8)), jnp.float32)
-    params = rs.init(jax.random.PRNGKey(0), x)
-    out1 = rs.apply(params, x)
+    params = jax.jit(rs.init)(jax.random.PRNGKey(0), x)
+    out1 = jax.jit(rs.apply)(params, x)
     x2 = x.at[:, 1].set(0.0)  # perturb frame 1 only
-    out2 = rs.apply(params, x2)
+    out2 = jax.jit(rs.apply)(params, x2)
     assert np.allclose(np.asarray(out1[:, :2]), np.asarray(out2[:, :2]), atol=1e-5)
     assert not np.allclose(np.asarray(out1[:, 2:]), np.asarray(out2[:, 2:]))

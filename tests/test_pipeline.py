@@ -1,0 +1,106 @@
+"""End-to-end pipeline smoke test on a tiny model + synthetic video.
+
+Exercises: sliding windows -> CLIP/resampler conditioning -> VAE encode ->
+DDIM scan -> 4-head decode -> masking/denorm -> Plücker cameras -> group
+alignment -> results export contract (SURVEY.md §7 minimum slice).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from geo4d_tpu.alignment.optimizer import AlignerConfig
+from geo4d_tpu.data.video import sliding_windows
+from geo4d_tpu.models.presets import init_params, tiny
+from geo4d_tpu.pipeline.export import save_results_dir, write_pointcloud_glb
+from geo4d_tpu.pipeline.inference import (
+    InferenceConfig,
+    WindowPredictor,
+    reconstruct,
+)
+
+
+def test_sliding_windows_contract():
+    # reference slice list semantics: stride starts + forced tail
+    g = sliding_windows(24, window=16, stride=4)
+    assert g.shape == (3, 16)
+    assert g[0, 0] == 0 and g[-1, -1] == 23 and g[-1, 0] == 8
+    g = sliding_windows(18, window=16, stride=4)
+    assert [w[0] for w in g] == [0, 2]   # tail window forced at T-16
+    g = sliding_windows(16, window=16, stride=4)
+    assert g.shape == (1, 16)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    T = 4
+    model = tiny(temporal_length=T)
+    H, W = 32, 64
+    params = init_params(model, jax.random.PRNGKey(0), (H, W), temporal_length=T)
+    return model, params, (H, W, T)
+
+
+def test_window_predictor_shapes(tiny_setup):
+    model, params, (H, W, T) = tiny_setup
+    # window_batch matches the reconstruct test so the persistent compile
+    # cache dedupes the (identical-HLO) window function
+    cfg = InferenceConfig(window=T, stride=2, ddim_steps=2, window_batch=1)
+    predictor = WindowPredictor(model, params, cfg)
+    frames = np.random.default_rng(0).normal(scale=0.3, size=(3, T, H, W, 3)).astype(
+        np.float32
+    )
+    text_ctx = np.zeros((1, 77, model.unet.context_dim), np.float32)
+    out = predictor.predict_windows(frames, text_ctx, fps=24)
+    assert out["pts3d"].shape == (3, T, H, W, 3)
+    assert out["conf"].shape == (3, T, H, W)
+    assert out["raymap"].shape == (3, T, H, W, 3)
+    assert out["inv_depth"].shape == (3, T, H, W)
+    assert out["traj"].shape == (3, T, 4, 4)
+    assert np.all(np.isfinite(out["pts3d"]))
+    # conf is inverse-softplus-confidence: non-negative, 0 where invalid
+    assert out["conf"].min() >= 0.0
+
+
+def test_full_reconstruct_and_export(tiny_setup, tmp_path):
+    model, params, (H, W, T) = tiny_setup
+    frames = np.random.default_rng(1).normal(scale=0.3, size=(8, H, W, 3)).astype(
+        np.float32
+    )
+    text_ctx = np.zeros((1, 77, model.unet.context_dim), np.float32)
+    icfg = InferenceConfig(window=T, stride=2, ddim_steps=2)
+    acfg = AlignerConfig(n_iter=10, depth_traj_start_iter=5)
+    scene, preds, timing = reconstruct(
+        model, params, frames, text_ctx, fps=24,
+        inference_config=icfg, aligner_config=acfg,
+    )
+    assert timing["sec_per_frame"] > 0
+    out_dir = str(tmp_path / "seq")
+    save_results_dir(out_dir, scene, rgb_frames=frames)
+    # the exact viser-readable contract
+    for fname in [
+        "pred_traj.txt", "pred_focal.txt", "pred_intrinsics.txt",
+        "frame_0000.npy", "conf_0000.npy", "init_conf_0000.npy",
+        "frame_0000.png", "scene.glb",
+    ]:
+        assert os.path.exists(os.path.join(out_dir, fname)), fname
+    traj = np.loadtxt(os.path.join(out_dir, "pred_traj.txt"))
+    assert traj.shape == (8, 8)
+    K = np.loadtxt(os.path.join(out_dir, "pred_intrinsics.txt"))
+    assert K.shape == (8, 9)
+
+
+def test_glb_writer(tmp_path):
+    pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+    cols = np.random.default_rng(1).uniform(size=(100, 3)).astype(np.float32)
+    path = str(tmp_path / "pc.glb")
+    write_pointcloud_glb(path, pts, cols)
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"glTF"
+    import struct
+
+    magic, version, total = struct.unpack("<III", data[:12])
+    assert version == 2 and total == len(data)

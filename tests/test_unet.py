@@ -37,55 +37,56 @@ def unet_setup():
         np.random.default_rng(1).normal(size=(b, 77 + t * 16, 24)), jnp.float32
     )
     fs = jnp.array([24])
-    params = unet.init(jax.random.PRNGKey(0), x, ts, ctx, fs)
-    return unet, params, (x, ts, ctx, fs)
+    params = jax.jit(lambda k: unet.init(k, x, ts, ctx, fs))(jax.random.PRNGKey(0))
+    apply = jax.jit(lambda p, x, t, c, f: unet.apply(p, x, t, c, f))
+    return unet, params, (x, ts, ctx, fs), apply
 
 
 def test_output_shape(unet_setup):
-    unet, params, (x, ts, ctx, fs) = unet_setup
-    y = unet.apply(params, x, ts, ctx, fs)
+    unet, params, (x, ts, ctx, fs), apply = unet_setup
+    y = apply(params, x, ts, ctx, fs)
     assert y.shape == (1, 4, 8, 16, 16)
     assert y.dtype == jnp.float32
 
 
 def test_zero_init_output_is_zero(unet_setup):
     # out conv is zero-initialized -> fresh model predicts exactly 0
-    unet, params, (x, ts, ctx, fs) = unet_setup
-    y = unet.apply(params, x, ts, ctx, fs)
+    unet, params, (x, ts, ctx, fs), apply = unet_setup
+    y = apply(params, x, ts, ctx, fs)
     assert np.allclose(np.asarray(y), 0.0)
 
 
 def test_timestep_sensitivity(unet_setup):
     # time embedding must reach hidden layers even though out conv is zero:
     # check an intermediate representation changes with t via perturbed params
-    unet, params, (x, ts, ctx, fs) = unet_setup
+    unet, params, (x, ts, ctx, fs), apply = unet_setup
     params = jax.tree_util.tree_map(
         lambda p: p + 0.01 * np.random.default_rng(2).normal(size=p.shape).astype(p.dtype),
         params,
     )
-    y1 = unet.apply(params, x, jnp.array([10]), ctx, fs)
-    y2 = unet.apply(params, x, jnp.array([900]), ctx, fs)
+    y1 = apply(params, x, jnp.array([10]), ctx, fs)
+    y2 = apply(params, x, jnp.array([900]), ctx, fs)
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
 
 def test_per_frame_timesteps(unet_setup):
-    unet, params, (x, ts, ctx, fs) = unet_setup
+    unet, params, (x, ts, ctx, fs), apply = unet_setup
     ts2d = jnp.broadcast_to(ts[:, None], (1, 4))
-    y1 = unet.apply(params, x, ts, ctx, fs)
-    y2 = unet.apply(params, x, ts2d, ctx, fs)
+    y1 = apply(params, x, ts, ctx, fs)
+    y2 = apply(params, x, ts2d, ctx, fs)
     assert np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
 
 
 def test_context_without_image_tokens(unet_setup):
     # plain text-only context (no 77 + 16t interleave) must also work
-    unet, params, (x, ts, ctx, fs) = unet_setup
+    unet, params, (x, ts, ctx, fs), apply = unet_setup
     ctx_text = ctx[:, :77, :]
-    y = unet.apply(params, x, ts, ctx_text, fs)
+    y = apply(params, x, ts, ctx_text, fs)
     assert y.shape == (1, 4, 8, 16, 16)
 
 
 def test_jit_compiles(unet_setup):
-    unet, params, (x, ts, ctx, fs) = unet_setup
+    unet, params, (x, ts, ctx, fs), apply = unet_setup
     f = jax.jit(lambda p, x, t, c, fs: unet.apply(p, x, t, c, fs))
     y = f(params, x, ts, ctx, fs)
     assert y.shape == (1, 4, 8, 16, 16)
