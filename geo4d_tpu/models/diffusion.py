@@ -104,17 +104,15 @@ class GeoDiffusion:
         [0:4] pointmap (conf decode), [4:8] raymap, [8:12] crossmap,
         [12:16] inverse depth (3-ch decode then channel-mean).
 
-        TPU note: the three RGB-VAE heads (ray/cross/depth) share weights, so
-        they decode as ONE batched call over 3*B*T frames instead of three
-        sequential decodes.
+        TPU note: the heads decode sequentially (not as one 3x batch) —
+        full-res decoder activations for 16 frames are HBM-heavy; sequential
+        decodes keep peak memory at one head's working set while each
+        individual decode still batches all frames through the MXU.
         """
         pc = self.decode_pointmap_conf(params, samples[..., 0:4])
-        b, t = samples.shape[:2]
-        stacked = jnp.concatenate(
-            [samples[..., 4:8], samples[..., 8:12], samples[..., 12:16]], axis=0
-        )
-        dec = self.decode_first_stage(params, stacked)
-        ray, cross, depth3 = dec[:b], dec[b : 2 * b], dec[2 * b :]
+        ray = self.decode_first_stage(params, samples[..., 4:8])
+        cross = self.decode_first_stage(params, samples[..., 8:12])
+        depth3 = self.decode_first_stage(params, samples[..., 12:16])
         depth = jnp.mean(depth3, axis=-1, keepdims=True)
         return {"pointmap_conf": pc, "raymap": ray, "crossmap": cross, "inv_depth": depth}
 

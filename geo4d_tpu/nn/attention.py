@@ -27,14 +27,16 @@ def dot_product_attention(
     k: jax.Array,
     v: jax.Array,
     mask: Optional[jax.Array] = None,
-    use_flash: bool = True,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Multi-head attention over (B, N, H, D) tensors.
 
     Softmax statistics in f32; matmuls in the input dtype (bf16 on TPU).
-    Dispatches to the Pallas flash kernel for long unmasked sequences;
-    otherwise uses the XLA einsum path (for seq<=~128, e.g. temporal
-    attention over 16 frames, a fused flash kernel buys nothing).
+    Default is the XLA einsum path: at this model's sizes (spatial seq
+    <= 2304, head dim 64) XLA's fused attention measured 42 TFLOP/s vs
+    2 TFLOP/s for the first-cut Pallas kernel (ops/flash_attention.py),
+    whose per-q-block K/V streaming and 64-wide lanes underfill the MXU —
+    kernel kept behind `use_flash=True` for further tuning.
     """
     if use_flash and mask is None and q.shape[1] >= 512:
         from geo4d_tpu.ops.flash_attention import flash_attention

@@ -138,6 +138,108 @@ def write_pointcloud_glb(path: str, points: np.ndarray, colors: np.ndarray):
         f.write(bin_data)
 
 
+def pointmap_to_mesh(
+    pts: np.ndarray,      # (H, W, 3)
+    colors: np.ndarray,   # (H, W, 3) in [0, 1]
+    mask: Optional[np.ndarray] = None,
+):
+    """Per-pixel grid mesh: two triangles per pixel quad, quads with any
+    masked corner dropped (parity: dust3r/viz.py:40 pts3d_to_trimesh).
+
+    Returns (vertices (V,3), vertex_colors (V,3), faces (F,3))."""
+    h, w = pts.shape[:2]
+    verts = pts.reshape(-1, 3).astype(np.float32)
+    cols = colors.reshape(-1, 3).astype(np.float32)
+    idx = np.arange(h * w).reshape(h, w)
+    tl = idx[:-1, :-1].ravel()
+    tr = idx[:-1, 1:].ravel()
+    bl = idx[1:, :-1].ravel()
+    br = idx[1:, 1:].ravel()
+    faces = np.concatenate(
+        [np.stack([tl, bl, tr], 1), np.stack([tr, bl, br], 1)], axis=0
+    ).astype(np.uint32)
+    if mask is not None:
+        ok = mask.reshape(-1)
+        keep = ok[faces].all(axis=1)
+        faces = faces[keep]
+    return verts, cols, faces
+
+
+def write_mesh_glb(path: str, vertices: np.ndarray, colors: np.ndarray,
+                   faces: np.ndarray):
+    """Binary glTF triangle mesh with vertex colors."""
+    vertices = np.asarray(vertices, np.float32)
+    colors = np.asarray(colors, np.float32)
+    faces = np.asarray(faces, np.uint32)
+    pos_b = vertices.tobytes()
+    col_b = colors.tobytes()
+    idx_b = faces.tobytes()
+    bin_data = pos_b + col_b + idx_b
+    pad = (4 - len(bin_data) % 4) % 4
+    bin_data += b"\x00" * pad
+    gltf = {
+        "asset": {"version": "2.0", "generator": "geo4d_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "COLOR_0": 1},
+            "indices": 2, "mode": 4,
+        }]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": len(vertices),
+             "type": "VEC3",
+             "min": vertices.min(0).tolist() if len(vertices) else [0, 0, 0],
+             "max": vertices.max(0).tolist() if len(vertices) else [0, 0, 0]},
+            {"bufferView": 1, "componentType": 5126, "count": len(colors),
+             "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5125, "count": faces.size,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos_b)},
+            {"buffer": 0, "byteOffset": len(pos_b), "byteLength": len(col_b)},
+            {"buffer": 0, "byteOffset": len(pos_b) + len(col_b),
+             "byteLength": len(idx_b)},
+        ],
+        "buffers": [{"byteLength": len(bin_data)}],
+    }
+    json_data = json.dumps(gltf).encode()
+    json_pad = (4 - len(json_data) % 4) % 4
+    json_data += b" " * json_pad
+    total = 12 + 8 + len(json_data) + 8 + len(bin_data)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(json_data), 0x4E4F534A))
+        f.write(json_data)
+        f.write(struct.pack("<II", len(bin_data), 0x004E4942))
+        f.write(bin_data)
+
+
+def save_depth_visualizations(out_dir: str, depths: np.ndarray,
+                              fps: int = 8):
+    """Colored depth PNGs + an animated GIF (parity:
+    base_opt_group.py:433-461 save_depth_maps colormap GIFs)."""
+    import matplotlib.cm as cm
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    d = np.asarray(depths, np.float32)
+    lo, hi = np.percentile(d, 2), np.percentile(d, 98)
+    norm = np.clip((d - lo) / max(hi - lo, 1e-8), 0, 1)
+    frames = []
+    for i in range(len(d)):
+        rgba = (cm.jet(norm[i]) * 255).astype(np.uint8)
+        img = Image.fromarray(rgba[..., :3])
+        img.save(os.path.join(out_dir, f"depth_{i:04d}.png"))
+        frames.append(img)
+    if frames:
+        frames[0].save(
+            os.path.join(out_dir, "depth.gif"), save_all=True,
+            append_images=frames[1:], duration=int(1000 / fps), loop=0,
+        )
+
+
 def save_time_cost(path: str, timing: dict):
     """time_cost.txt contract (infer_geo4d.py:640-648)."""
     with open(path, "a") as f:
