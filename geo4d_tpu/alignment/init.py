@@ -193,3 +193,39 @@ def init_from_group(
     if verbose:
         init_loss = float(aligner.loss_fn(aligner.params, False))
         print(f"[init] loss = {init_loss:.5f}")
+
+
+def init_from_known_poses(
+    aligner: GroupAligner,
+    poses_c2w: np.ndarray,        # (N, 4, 4) known cameras
+    focals: np.ndarray,           # (N,) or scalar known focal(s)
+    pred_pts: np.ndarray,         # (G, S, H, W, 3)
+    conf: np.ndarray,             # (G, S, H, W)
+) -> None:
+    """Init with ground-truth cameras (reference init='known_poses' path,
+    base_opt_group.py:509-512 + init_im_poses init_from_known_poses):
+    poses and focal preset (frozen focal), per-window sim3 from Umeyama
+    onto the known-pose point placement, depths from the window preds."""
+    groups = aligner.groups
+    G, S = groups.shape
+    h, w = aligner.H, aligner.W
+    aligner.preset_focal(np.atleast_1d(focals), requires_grad=False)
+    for i in range(aligner.N):
+        aligner.set_pose(i, poses_c2w[i])
+
+    f = float(np.atleast_1d(focals)[0])
+    # place each window into world via its first frame's known camera
+    for g in range(G):
+        c2w0 = poses_c2w[groups[g, 0]]
+        s, R, t = 1.0, c2w0[:3, :3], c2w0[:3, 3]
+        aligner.set_pw_pose(g, s, R, t)
+
+    # depth init: z of window preds in their own (first-frame) camera frame
+    seen = {}
+    for g in range(G):
+        for s_idx, img_idx in enumerate(groups[g]):
+            if img_idx in seen:
+                continue
+            depth = np.asarray(pred_pts[g, s_idx, ..., 2]).reshape(-1)
+            aligner.set_depthmap(img_idx, np.clip(depth, 1e-4, None))
+            seen[img_idx] = True

@@ -116,6 +116,35 @@ class GeoDiffusion:
         depth = jnp.mean(depth3, axis=-1, keepdims=True)
         return {"pointmap_conf": pc, "raymap": ray, "crossmap": cross, "inv_depth": depth}
 
+    def encode_first_stage_perchannel(
+        self, params, x: jax.Array, key: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """Per-channel encode (ddpm3d.py:710-746): each input channel is
+        tripled to RGB and encoded separately -> (B, T, h, w, 4*C) latents.
+        vmapped over channels instead of the reference's python loop."""
+        b, t, h, w, c = x.shape
+        outs = []
+        for ci in range(c):  # static tiny loop (c<=3), fully fused by XLA
+            mono = jnp.repeat(x[..., ci : ci + 1], 3, axis=-1)
+            outs.append(self.encode_first_stage(params, mono, key))
+        return jnp.concatenate(outs, axis=-1)
+
+    def decode_perchannel_conf(self, params, z: jax.Array) -> jax.Array:
+        """Per-channel conf decode (ddpm3d.py decode_core_confhead_perchannel
+        :872-919): 12-ch latent -> 3x conf decodes; each head's RGB collapses
+        to its channel mean, confidences average -> (…, 4) output."""
+        zc = z.shape[-1]
+        n = 3
+        per = zc // n
+        assert zc % n == 0, f"latent channels {zc} not divisible by {n}"
+        chans, confs = [], []
+        for i in range(n):
+            out = self.decode_pointmap_conf(params, z[..., i * per : (i + 1) * per])
+            chans.append(jnp.mean(out[..., :3], axis=-1, keepdims=True))
+            confs.append(out[..., 3:])
+        conf = jnp.mean(jnp.concatenate(confs, axis=-1), axis=-1, keepdims=True)
+        return jnp.concatenate(chans + [conf], axis=-1)
+
     # ---------------- conditioners ----------------
 
     def embed_text(self, params, token_ids: jax.Array) -> jax.Array:

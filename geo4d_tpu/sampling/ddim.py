@@ -156,3 +156,47 @@ def ddim_sample(
 
     x, _ = jax.lax.scan(step, x, (per_step, noise_keys))
     return x
+
+
+def stochastic_encode(
+    x0: jax.Array, step_index: int, tables: DDIMTables, key: jax.Array
+) -> jax.Array:
+    """Noise x0 to DDIM step `step_index` (reference ddim.py:303-317):
+    x_t = sqrt(abar)*x0 + sqrt(1-abar)*eps."""
+    a = tables.alphas[step_index]
+    noise = jax.random.normal(key, x0.shape, x0.dtype)
+    return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
+
+
+def ddim_encode(
+    model_fn: Callable[[jax.Array, jax.Array, int], jax.Array],
+    x0: jax.Array,
+    tables: DDIMTables,
+    *,
+    parameterization: str = "v",
+    num_steps: Optional[int] = None,
+) -> jax.Array:
+    """Deterministic DDIM inversion x0 -> x_T (reference ddim.py:281-301
+    `decode` run in reverse): steps ascend through the timestep table.
+
+    Useful for editing/consistency experiments; eta must be 0.
+    """
+    s = num_steps or tables.timesteps.shape[0]
+    per_step = jax.tree_util.tree_map(lambda a: a[:s], tables)
+
+    def step(x, consts):
+        t = consts.timesteps
+        a_next = consts.alphas        # abar at this (higher) timestep
+        a_cur = consts.alphas_prev    # abar one step lower
+        out = model_fn(x, t, 1)
+        if parameterization == "v":
+            e_t = jnp.sqrt(a_cur) * out + jnp.sqrt(1 - a_cur) * x
+            pred_x0 = jnp.sqrt(a_cur) * x - jnp.sqrt(1 - a_cur) * out
+        else:
+            e_t = out
+            pred_x0 = (x - jnp.sqrt(1 - a_cur) * e_t) / jnp.sqrt(a_cur)
+        x_next = jnp.sqrt(a_next) * pred_x0 + jnp.sqrt(1 - a_next) * e_t
+        return x_next, None
+
+    x, _ = jax.lax.scan(step, x0, per_step)
+    return x
