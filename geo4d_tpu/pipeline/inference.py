@@ -63,13 +63,30 @@ class InferenceConfig:
 
 
 class WindowPredictor:
-    """Runs the diffusion stage for batches of windows, fully jitted."""
+    """Runs the diffusion stage for batches of windows, fully jitted.
+
+    With a multi-device `mesh`, windows shard across the mesh 'data' axis
+    (the reference processes them sequentially on one GPU,
+    infer_geo4d.py:412-418 — here W windows on D chips run in ceil(W/D)
+    launches); params are replicated, no collectives needed in the forward.
+    """
 
     def __init__(self, model: GeoDiffusion, params: Dict[str, Any],
-                 config: InferenceConfig = InferenceConfig()):
+                 config: InferenceConfig = InferenceConfig(),
+                 mesh=None):
         self.model = model
-        self.params = params
         self.cfg = config
+        self.mesh = mesh
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._window_sharding = NamedSharding(mesh, P("data"))
+            self._repl = NamedSharding(mesh, P())
+            params = jax.device_put(params, self._repl)
+        else:
+            self._window_sharding = None
+            self._repl = None
+        self.params = params
         self._jitted = {}
 
     def _window_fn(self):
@@ -148,6 +165,9 @@ class WindowPredictor:
 
         outs: List[Dict[str, np.ndarray]] = []
         bs = cfg.window_batch
+        if self._window_sharding is not None:
+            # one window per device per launch (at least)
+            bs = max(bs, self.mesh.size)
         key = jax.random.PRNGKey(seed)
         for start in range(0, g_total, bs):
             chunk = frames_windows[start : start + bs]
@@ -156,7 +176,10 @@ class WindowPredictor:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
             key, sub = jax.random.split(key)
             fs = jnp.full((chunk.shape[0],), fps, jnp.int32)
-            out = run(self.params, jnp.asarray(chunk), jnp.asarray(text_ctx), fs, sub)
+            chunk_dev = jnp.asarray(chunk)
+            if self._window_sharding is not None:
+                chunk_dev = jax.device_put(chunk_dev, self._window_sharding)
+            out = run(self.params, chunk_dev, jnp.asarray(text_ctx), fs, sub)
             out = {k: np.asarray(v) for k, v in out.items()}
             if pad:
                 out = {k: v[:-pad] for k, v in out.items()}
@@ -194,6 +217,7 @@ def reconstruct(
     aligner_config: AlignerConfig = AlignerConfig(),
     seed: int = 123,
     intrinsics: Optional[np.ndarray] = None,
+    mesh=None,
     verbose: bool = False,
 ) -> Tuple[GroupAligner, Dict[str, np.ndarray], Dict[str, float]]:
     """Full pipeline: windows -> diffusion -> group alignment.
@@ -204,7 +228,7 @@ def reconstruct(
     groups = sliding_windows(t_total, inference_config.window, inference_config.stride)
     frames_windows = frames[groups]   # (G, T, H, W, 3)
 
-    predictor = WindowPredictor(model, params, inference_config)
+    predictor = WindowPredictor(model, params, inference_config, mesh=mesh)
     t0 = time.time()
     preds = predictor.predict_windows(frames_windows, text_ctx, fps, seed)
     jax.block_until_ready(preds["pts3d"])
