@@ -1,0 +1,150 @@
+"""Training launcher (a capability the reference does NOT ship — its repo
+has losses + batch builders in lvdm/models/ddpm3d.py but no pl.Trainer
+invocation anywhere; SURVEY.md L0 note). This launcher wires the full
+train loop: modality batch builder -> jitted dp-sharded train step ->
+EMA -> orbax checkpoints -> JSONL metrics.
+
+Data contract: a directory of .npz shards, each holding the raw modality
+arrays per clip: video (T,H,W,3) [-1,1], normed_allpts / plucker_raymap /
+plucker_cross (T,H,W,3), inverse_depth (T,H,W,1), fps (scalar) — i.e. the
+output of the offline preprocessing (data/preprocess.py + the bbox2
+normalizers in geometry/normalize.py).
+
+Usage:
+  python -m geo4d_tpu.cli.train --data_dir shards/ --out_dir runs/exp1 \
+      [--ckpt_path base.ckpt] [--steps 10000] [--batch_size 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="geo4d_tpu training")
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--vae_path", type=str, default=None)
+    p.add_argument("--modality", type=str, default="pc_ray_cross_depth")
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=576)
+    p.add_argument("--video_length", type=int, default=16)
+    p.add_argument("--uncond_prob", type=float, default=0.05)
+    p.add_argument("--geometry_condition", action="store_true")
+    p.add_argument("--ckpt_every", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--prompt",
+        type=str,
+        default="Output a video that assigns each 3D location in the world a consistent color.",
+    )
+    return p
+
+
+def npz_stream(data_dir: str, batch_size: int, t: int, rng):
+    """Endless shuffled stream of stacked clip batches from .npz shards."""
+    import numpy as np
+
+    files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+    if not files:
+        raise FileNotFoundError(f"no .npz shards in {data_dir}")
+    keys = ["video", "normed_allpts", "plucker_raymap", "plucker_cross",
+            "inverse_depth"]
+    while True:
+        order = rng.permutation(len(files))
+        batch = {k: [] for k in keys + ["fps"]}
+        for fi in order:
+            with np.load(files[fi]) as z:
+                for k in keys:
+                    batch[k].append(z[k][:t])
+                batch["fps"].append(int(z.get("fps", 24)))
+            if len(batch["fps"]) == batch_size:
+                yield {
+                    k: np.stack(v) if k != "fps" else np.asarray(v, np.int32)
+                    for k, v in batch.items()
+                }
+                batch = {k: [] for k in keys + ["fps"]}
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from geo4d_tpu.cli.common import build_model_and_params, compute_text_context
+    from geo4d_tpu.models.checkpoint import save_checkpoint
+    from geo4d_tpu.parallel.mesh import make_mesh
+    from geo4d_tpu.training.callbacks import EpochTimer, MetricLogger
+    from geo4d_tpu.training.modalities import build_batch
+    from geo4d_tpu.training.step import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    model, params = build_model_and_params(
+        args.ckpt_path, args.vae_path, (args.height, args.width), args.seed
+    )
+    prompt_emb = jnp.asarray(
+        compute_text_context(model, params, args.prompt)
+    )
+    null_emb = jnp.asarray(compute_text_context(model, params, ""))
+
+    cfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        geometry_condition=args.geometry_condition,
+        temporal_length=args.video_length,
+    )
+    state = create_train_state(params["unet"], cfg)
+    step_fn = jax.jit(make_train_step(
+        lambda p, *a: model.unet.apply(p, *a), model.schedule, cfg
+    ))
+    frozen = {k: v for k, v in params.items() if k != "unet"}
+    build = jax.jit(
+        lambda p, b, k: build_batch(
+            args.modality, model, p, b, k,
+            jnp.broadcast_to(prompt_emb, (args.batch_size, *prompt_emb.shape[1:])),
+            null_emb, args.uncond_prob, True,
+        )
+    )
+
+    mesh = make_mesh()
+    batch_shard = NamedSharding(mesh, P("data")) if mesh.size > 1 else None
+
+    logger = MetricLogger(args.out_dir)
+    timer = EpochTimer()
+    timer.start()
+    rng = np.random.default_rng(args.seed)
+    stream = npz_stream(args.data_dir, args.batch_size, args.video_length, rng)
+    key = jax.random.PRNGKey(args.seed)
+
+    for i in range(args.steps):
+        raw = next(stream)
+        raw = {k: jnp.asarray(v) for k, v in raw.items()}
+        if batch_shard is not None:
+            raw = {k: jax.device_put(v, batch_shard) for k, v in raw.items()}
+        key, k1, k2 = jax.random.split(key, 3)
+        batch = build(frozen, raw, k1)
+        state, metrics = step_fn(state, batch, k2)
+        timer.step(args.batch_size)
+        logger.log(i, metrics)
+        if (i + 1) % args.ckpt_every == 0:
+            save_checkpoint(os.path.join(args.out_dir, f"ckpt_{i + 1:08d}"),
+                            {"unet": state.ema_params})
+    stats = timer.finish()
+    logger.log(args.steps, stats)
+    save_checkpoint(os.path.join(args.out_dir, "ckpt_final"),
+                    {"unet": state.ema_params})
+    print(f"[train] done: {stats}")
+
+
+if __name__ == "__main__":
+    main()

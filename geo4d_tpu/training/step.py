@@ -61,6 +61,10 @@ class TrainConfig:
     geometry_condition: bool = False
     low_timesteps: int = 0
     temporal_length: int = 16
+    remat: bool = False              # activation checkpointing of the UNet
+    # (the reference threads use_checkpoint through every block,
+    # openaimodel3d.py:197-208; here one jax.checkpoint around the apply
+    # with a dot-saving policy trades FLOPs for activation memory)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -122,6 +126,13 @@ def diffusion_loss(
     return loss, {"loss_simple": loss, "t_mean": jnp.mean(ts.astype(jnp.float32))}
 
 
+def ema_scope(state: TrainState) -> Any:
+    """EMA weights for evaluation (the reference's ema_scope context,
+    ddpm3d.py:227-240, store/copy/restore) — functionally, just read the
+    shadow tree; nothing to restore since params are immutable."""
+    return state.ema_params
+
+
 def make_train_step(unet_apply, schedule: DiffusionSchedule, cfg: TrainConfig):
     """Returns jit-able step(state, batch, key) -> (state, metrics).
 
@@ -129,6 +140,11 @@ def make_train_step(unet_apply, schedule: DiffusionSchedule, cfg: TrainConfig):
     axis and jit — XLA inserts the gradient all-reduce.
     """
     opt = make_optimizer(cfg)
+    if cfg.remat:
+        unet_apply = jax.checkpoint(
+            unet_apply,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
 
     def step(state: TrainState, batch, key):
         (loss, metrics), grads = jax.value_and_grad(
