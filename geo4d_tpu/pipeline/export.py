@@ -143,8 +143,8 @@ def pointmap_to_mesh(
     colors: np.ndarray,   # (H, W, 3) in [0, 1]
     mask: Optional[np.ndarray] = None,
 ):
-    """Per-pixel grid mesh: two triangles per pixel quad, quads with any
-    masked corner dropped (parity: dust3r/viz.py:40 pts3d_to_trimesh).
+    """Per-pixel grid mesh: two triangles per pixel quad, triangles with
+    any masked vertex dropped (parity: dust3r/viz.py:40 pts3d_to_trimesh).
 
     Returns (vertices (V,3), vertex_colors (V,3), faces (F,3))."""
     h, w = pts.shape[:2]
