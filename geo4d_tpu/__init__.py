@@ -24,3 +24,27 @@ Layering (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import geo4d_tpu` free of jax import cost)."""
+    lazy = {
+        "GeoDiffusion": ("geo4d_tpu.models.diffusion", "GeoDiffusion"),
+        "UNet3D": ("geo4d_tpu.models.unet3d", "UNet3D"),
+        "AutoencoderKL": ("geo4d_tpu.models.autoencoder", "AutoencoderKL"),
+        "DiffusionSchedule": ("geo4d_tpu.core.schedules", "DiffusionSchedule"),
+        "GroupAligner": ("geo4d_tpu.alignment.optimizer", "GroupAligner"),
+        "AlignerConfig": ("geo4d_tpu.alignment.optimizer", "AlignerConfig"),
+        "InferenceConfig": ("geo4d_tpu.pipeline.inference", "InferenceConfig"),
+        "reconstruct": ("geo4d_tpu.pipeline.inference", "reconstruct"),
+        "build_from_yaml": ("geo4d_tpu.core.registry", "build_from_yaml"),
+        "flagship": ("geo4d_tpu.models.presets", "flagship"),
+        "tiny": ("geo4d_tpu.models.presets", "tiny"),
+        "init_params": ("geo4d_tpu.models.presets", "init_params"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'geo4d_tpu' has no attribute {name!r}")

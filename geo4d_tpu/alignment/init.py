@@ -67,7 +67,7 @@ def init_from_group(
     aligner: GroupAligner,
     pred_pts: np.ndarray,     # (G, S, H, W, 3)
     conf: np.ndarray,         # (G, S, H, W)
-    niter_pnp: int = 100,
+    niter_pnp: int = 10,      # inference preset (base_opt_group.py:496)
     verbose: bool = False,
 ) -> None:
     """Full init chain; mutates the aligner's params in place."""

@@ -65,7 +65,7 @@ def resize_depth_to_gt(pred_depth: np.ndarray, gt_hw) -> np.ndarray:
 def main(argv=None):
     args = get_parser().parse_args(argv)
     from geo4d_tpu.alignment.optimizer import AlignerConfig
-    from geo4d_tpu.cli.common import build_model_and_params, compute_text_context
+    from geo4d_tpu.cli.common import build_model_and_params, prepare_inference_params
     from geo4d_tpu.data.datasets import (
         DATASET_FPS,
         DATASET_RESOLUTION,
@@ -83,7 +83,9 @@ def main(argv=None):
     model, params = build_model_and_params(
         args.ckpt_path, args.vae_path, (h, w), args.seed
     )
-    text_ctx = compute_text_context(model, params, DEFAULT_PROMPT, args.bpe_path)
+    params, text_ctx = prepare_inference_params(
+        model, params, DEFAULT_PROMPT, args.bpe_path
+    )
 
     icfg = InferenceConfig(
         window=args.video_length, stride=args.stride,

@@ -57,7 +57,7 @@ def get_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = get_parser().parse_args(argv)
     from geo4d_tpu.alignment.optimizer import AlignerConfig
-    from geo4d_tpu.cli.common import build_model_and_params, compute_text_context
+    from geo4d_tpu.cli.common import build_model_and_params, prepare_inference_params
     from geo4d_tpu.data.video import load_video
     from geo4d_tpu.pipeline.export import save_results_dir, save_time_cost
     from geo4d_tpu.pipeline.inference import InferenceConfig, reconstruct
@@ -89,7 +89,7 @@ def main(argv=None):
         )
     if args.ckpt_path is None:
         print("[infer] WARNING: no checkpoint given — random weights")
-    text_ctx = compute_text_context(
+    params, text_ctx = prepare_inference_params(
         model, params, args.prompt if args.text_input else "", args.bpe_path
     )
 
