@@ -30,13 +30,13 @@ except Exception:  # pragma: no cover
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # (qb, d)
-    k = k_ref[0].astype(jnp.float32)  # (n, d)
-    v = v_ref[0]                      # (n, d)
+    q = q_ref[0]                      # (qb, d) bf16 — keep MXU inputs bf16:
+    k = k_ref[0]                      # casting to f32 first would force the
+    v = v_ref[0]                      # 8x-slower f32 MXU path
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                          # (qb, n)
+    ) * scale                                          # (qb, n) f32 accum
     m = jnp.max(logits, axis=-1, keepdims=True)
     unnorm = jnp.exp(logits - m)
     denom = jnp.sum(unnorm, axis=-1, keepdims=True)
@@ -47,7 +47,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 @functools.partial(jax.jit, static_argnames=("q_block",))
 def _flash_bhnd(q, k, v, q_block: int):
-    """q: (BH, Nq, D), k/v: (BH, Nk, D)."""
+    """q: (BH, Nq, D), k/v: (BH, Nk, D).
+
+    Grid over (bh, q-blocks); Mosaic double-buffers the (redundant) per-
+    q-block K/V streams well — a variant keeping K/V resident and looping
+    q-blocks in-kernel with dynamic slices measured 15x slower (dynamic-
+    slice stores defeat the pipeliner). Measured 29 TFLOP/s vs XLA's 42 at
+    the spatial-attention shapes, hence the XLA default in nn/attention.py.
+    """
     bh, nq, d = q.shape
     nk = k.shape[1]
     scale = d**-0.5
