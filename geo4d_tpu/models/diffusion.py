@@ -116,6 +116,43 @@ class GeoDiffusion:
         depth = jnp.mean(depth3, axis=-1, keepdims=True)
         return {"pointmap_conf": pc, "raymap": ray, "crossmap": cross, "inv_depth": depth}
 
+    def decode_modality(self, params, samples: jax.Array,
+                        modality: Optional[str] = None) -> Dict[str, jax.Array]:
+        """Decode dispatch over the modality latent layouts
+        (test_geo4d.py:231-258 inference branches):
+          pc_ray_cross_depth  [pc4|ray4|cross4|depth4] (shipped; see
+                              decode_geometry)
+          pc_ray              [pc4|ray4]
+          pc                  [pc4]
+          multipc             [pc0_4|pc1_4|video4]
+          img_vidpc           [video4|pc4]
+          rgb                 [video4]
+        """
+        modality = modality or self.modality
+        if modality == "pc_ray_cross_depth":
+            return self.decode_geometry(params, samples)
+        if modality == "pc_ray":
+            return {
+                "pointmap_conf": self.decode_pointmap_conf(params, samples[..., 0:4]),
+                "raymap": self.decode_first_stage(params, samples[..., 4:8]),
+            }
+        if modality == "pc":
+            return {"pointmap_conf": self.decode_pointmap_conf(params, samples)}
+        if modality == "multipc":
+            return {
+                "pointmap_conf": self.decode_pointmap_conf(params, samples[..., 0:4]),
+                "pointmap_conf_1": self.decode_pointmap_conf(params, samples[..., 4:8]),
+                "video": self.decode_first_stage(params, samples[..., 8:12]),
+            }
+        if modality == "img_vidpc":
+            return {
+                "video": self.decode_first_stage(params, samples[..., 0:4]),
+                "pointmap_conf": self.decode_pointmap_conf(params, samples[..., 4:8]),
+            }
+        if modality == "rgb":
+            return {"video": self.decode_first_stage(params, samples)}
+        raise NotImplementedError(f"modality {modality!r}")
+
     def encode_first_stage_perchannel(
         self, params, x: jax.Array, key: Optional[jax.Array] = None
     ) -> jax.Array:

@@ -34,14 +34,18 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     k = k_ref[0]                      # casting to f32 first would force the
     v = v_ref[0]                      # 8x-slower f32 MXU path
 
+    # precision pinned to DEFAULT: a global jax_default_matmul_precision of
+    # 'highest' requests multi-pass bf16 emulation that Mosaic rejects
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ) * scale                                          # (qb, n) f32 accum
     m = jnp.max(logits, axis=-1, keepdims=True)
     unnorm = jnp.exp(logits - m)
     denom = jnp.sum(unnorm, axis=-1, keepdims=True)
     weights = (unnorm / denom).astype(v.dtype)
-    out = jnp.dot(weights, v, preferred_element_type=jnp.float32)
+    out = jnp.dot(weights, v, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
     o_ref[0] = out.astype(o_ref.dtype)
 
 

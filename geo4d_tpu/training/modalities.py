@@ -144,11 +144,60 @@ def build_batch_rgb(
     return {"z0": z, "c_concat": z, "context": context, "fs": batch["fps"]}
 
 
+def build_batch_multipc(
+    model, params, batch, key, prompt_emb, null_prompt_emb,
+    uncond_prob: float = 0.05, random_uncond: bool = True,
+) -> Dict[str, jax.Array]:
+    """12-ch [pointmap_t0 | pointmap_t1 | video] two-view modality
+    (ddpm3d.py multipc branch). batch carries normed_allpts and
+    normed_allpts_1 (the second view's points)."""
+    keys = jax.random.split(key, 5)
+    z_pc0 = _encode(model, params, batch["normed_allpts"], keys[0])
+    z_pc1 = _encode(model, params, batch["normed_allpts_1"], keys[1])
+    z_video = _encode(model, params, batch["video"], keys[2])
+    context = _conditioning(
+        model, params, batch["video"], prompt_emb, null_prompt_emb,
+        keys[3], uncond_prob, random_uncond,
+    )
+    return {
+        "z0": jnp.concatenate([z_pc0, z_pc1, z_video], axis=-1),
+        "c_concat": z_video,
+        "context": context,
+        "fs": batch["fps"],
+    }
+
+
+def build_batch_img_vidpc(
+    model, params, batch, key, prompt_emb, null_prompt_emb,
+    uncond_prob: float = 0.05, random_uncond: bool = True,
+) -> Dict[str, jax.Array]:
+    """8-ch [video | pointmap] joint video+geometry modality (ddpm3d.py
+    img_vidpc branch): c_concat is the FIRST frame's latent repeated
+    (test_geo4d.py:164-166), conditioning from frame 0 only."""
+    keys = jax.random.split(key, 4)
+    z_video = _encode(model, params, batch["video"], keys[0])
+    z_pc = _encode(model, params, batch["normed_allpts"], keys[1])
+    t = z_video.shape[1]
+    c_concat = jnp.repeat(z_video[:, :1], t, axis=1)
+    context = _conditioning(
+        model, params, batch["video"], prompt_emb, null_prompt_emb,
+        keys[2], uncond_prob, random_uncond,
+    )
+    return {
+        "z0": jnp.concatenate([z_video, z_pc], axis=-1),
+        "c_concat": c_concat,
+        "context": context,
+        "fs": batch["fps"],
+    }
+
+
 MODALITY_BUILDERS = {
     "pc_ray_cross_depth": build_batch_pc_ray_cross_depth,
     "pc_ray": build_batch_pc_ray,
     "pc": build_batch_pc,
     "rgb": build_batch_rgb,
+    "multipc": build_batch_multipc,
+    "img_vidpc": build_batch_img_vidpc,
 }
 
 
