@@ -16,13 +16,48 @@ from geo4d_tpu.parallel.mesh import (
 
 
 def cpu_mesh(n=8):
-    devs = jax.devices("cpu")[:n]
-    return Mesh(np.asarray(devs), ("data",))
+    """Production path: make_mesh over the virtual CPU devices."""
+    return make_mesh(n, platform="cpu")
 
 
 def test_make_mesh_shapes():
     mesh = cpu_mesh(8)
     assert mesh.shape["data"] == 8
+    assert mesh.size == 8
+    assert all(d.platform == "cpu" for d in mesh.devices.flat)
+
+
+def test_make_mesh_explicit_devices():
+    devs = jax.devices("cpu")
+    mesh = make_mesh(4, devices=devs)
+    assert mesh.size == 4
+    assert list(mesh.devices.flat) == devs[:4]
+
+
+def test_make_mesh_too_many_devices_raises():
+    # a silently smaller mesh would fake multi-chip semantics (round-1 bug)
+    with pytest.raises(ValueError, match="device"):
+        make_mesh(128, platform="cpu")
+
+
+def test_dryrun_train_step_through_production_path():
+    """The driver-checked dp train step, via make_mesh itself (2 devices to
+    keep the 1-vCPU XLA:CPU compile small)."""
+    import __graft_entry__ as ge
+
+    cpus = jax.devices("cpu")[:2]
+    mesh = make_mesh(2, devices=cpus)
+    ge._dp_train_dryrun(mesh, 2, cpus)
+
+
+def test_dryrun_window_predictor_on_mesh():
+    """WindowPredictor with windows sharded over a 2-device CPU mesh —
+    the flagship window-parallel inference path (infer_geo4d.py:412-418)."""
+    import __graft_entry__ as ge
+
+    cpus = jax.devices("cpu")[:2]
+    mesh = make_mesh(2, devices=cpus)
+    ge._window_parallel_dryrun(mesh, 2, cpus)
 
 
 def test_batch_sharding_distributes():
