@@ -39,6 +39,12 @@ def forward_transform(flax_leaf_name: str, torch_arr: np.ndarray) -> np.ndarray:
     if flax_leaf_name == "kernel":
         if torch_arr.ndim == 2:
             return torch_arr.T
+        if torch_arr.ndim == 3:
+            # Conv1d kernel-1 (O, I, 1) -> Dense (I, O). The reference's
+            # init_attn TemporalTransformer is built WITHOUT use_linear
+            # (openaimodel3d.py:399-409) so its proj_in/proj_out are Conv1d.
+            assert torch_arr.shape[-1] == 1, torch_arr.shape
+            return torch_arr[:, :, 0].T
         if torch_arr.ndim == 4:
             return torch_arr.transpose(2, 3, 1, 0)
         if torch_arr.ndim == 5:
@@ -325,7 +331,8 @@ def convert_state_dict(
                 f"{'/'.join(parts)} -> {full}: shape {arr.shape} != {leaf.shape}"
             )
             return leaf
-        return arr.astype(np.asarray(leaf).dtype)
+        # leaf may be a ShapeDtypeStruct (eval_shape template) or an array
+        return arr.astype(np.dtype(leaf.dtype))
 
     params = jax.tree_util.tree_map_with_path(fill, flax_template)
     return params, missing, used

@@ -181,7 +181,7 @@ class GEGLUFeedForward(nn.Module):
         inner = dim * self.mult
         proj = Dense(inner * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(proj, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        h = h * nn.gelu(gate, approximate=False)  # torch F.gelu is exact erf
         return Dense(dim, dtype=self.dtype, name="out")(h)
 
 
@@ -199,7 +199,7 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
         attn_kw = dict(
             heads=self.heads,
             dim_head=self.dim_head,

@@ -66,7 +66,7 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, causal: bool = False):
         d = x.shape[-1]
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
         x = x + MHA(self.heads, dtype=self.dtype, name="attn")(
             ln("ln_1")(x).astype(self.dtype), causal=causal
         )
@@ -109,7 +109,7 @@ class CLIPTextEncoder(nn.Module):
             x = ResidualAttentionBlock(
                 self.heads, dtype=self.dtype, name=f"resblocks_{i}"
             )(x, causal=True)
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_final")(x)
         return x.astype(jnp.float32)
 
 
@@ -155,7 +155,7 @@ class CLIPVisionEncoder(nn.Module):
             (grid * grid + 1, self.width),
         )
         x = x + pos[None].astype(x.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_pre")(x)
         x = x.astype(self.dtype)
         for i in range(self.layers):
             x = ResidualAttentionBlock(

@@ -34,7 +34,7 @@ class PerceiverAttention(nn.Module):
         b, l, d = latents.shape
         h, dh = self.heads, self.dim_head
         inner = h * dh
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
         x = ln("norm1")(x).astype(self.dtype)
         latents = ln("norm2")(latents).astype(self.dtype)
 
@@ -61,9 +61,9 @@ class ResamplerFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm")(x)
         h = Dense(d * self.mult, use_bias=False, dtype=self.dtype, name="fc1")(h.astype(self.dtype))
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU is exact erf
         return Dense(d, use_bias=False, dtype=self.dtype, name="fc2")(h)
 
 
@@ -114,7 +114,7 @@ class Resampler(nn.Module):
             )(latents)
 
         latents = Dense(self.output_dim, dtype=self.dtype, name="proj_out")(latents)
-        latents = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm_out")(latents)
+        latents = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm_out")(latents)
         if framewise:
             latents = latents.reshape(b, t * self.num_queries, self.output_dim)
         return latents.astype(jnp.float32)

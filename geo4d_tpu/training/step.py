@@ -96,26 +96,40 @@ def diffusion_loss(
     """
     z0 = batch["z0"]
     b, t = z0.shape[:2]
-    key_t, key_n, key_p = jax.random.split(key, 3)
-    ts = jax.random.randint(key_t, (b,), cfg.low_timesteps, schedule.num_timesteps)
+    key_t, key_n, key_p, key_l = jax.random.split(key, 4)
+    # noised-frame timesteps are always U[0, num_timesteps) (ddpm3d.py:978)
+    ts = jax.random.randint(key_t, (b,), 0, schedule.num_timesteps)
     noise = jax.random.normal(key_n, z0.shape, z0.dtype)
 
     sa = jnp.asarray(schedule.sqrt_alphas_cumprod)
     sb = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod)
+    scale_arr = (
+        jnp.asarray(schedule.scale_arr) if schedule.scale_arr is not None else None
+    )
 
     if cfg.geometry_condition:
-        # sample a frame pattern per element; clean frames get t=0
+        # sample a frame pattern per element; conditioning frames (pattern 0)
+        # get a *low* timestep t_low ~ U[0, low_timesteps) rather than
+        # exactly 0 (ddpm3d.py:984-987)
         pats = jnp.asarray(geometry_condition_patterns(cfg.temporal_length))
         idx = jax.random.randint(key_p, (b,), 0, pats.shape[0])
         frame_on = pats[idx]                       # (B, T) 1=noised
-        ts2d = ts[:, None] * frame_on              # (B, T)
+        t_low = jax.random.randint(key_l, (b,), 0, max(cfg.low_timesteps, 1))
+        ts2d = ts[:, None] * frame_on + t_low[:, None] * (1 - frame_on)
         sa_t = sa[ts2d][..., None, None, None]
         sb_t = sb[ts2d][..., None, None, None]
         timesteps = ts2d
+        if scale_arr is not None:
+            # dynamic rescale of x_start, per-frame (ddpm3d.py:987-988)
+            z0 = z0 * scale_arr[ts2d][..., None, None, None]
     else:
         sa_t = sa[ts][:, None, None, None, None]
         sb_t = sb[ts][:, None, None, None, None]
         timesteps = ts
+        if scale_arr is not None:
+            # dynamic rescale of x_start (ddpm3d.py:991-993); the DDIM
+            # sampler's scale_prev/scale correction inverts this at inference
+            z0 = z0 * scale_arr[ts][:, None, None, None, None]
 
     x_noisy = sa_t * z0 + sb_t * noise
     v_target = sa_t * noise - sb_t * z0
