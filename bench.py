@@ -85,7 +85,7 @@ def main():
     window_fn = predictor._window_fn()
 
     def run_with_checksum(params, frames, text_ctx, fs, key):
-        out = window_fn(params, frames, text_ctx, fs, key)
+        out = window_fn(params, frames, text_ctx, text_ctx, fs, key)
         # checksum over every output forces full materialization
         return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values()
                    if v.dtype != jnp.bool_)

@@ -8,6 +8,22 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 
 
+def load_torch_checkpoint(path: str):
+    """torch.load with weights_only=True first; fall back (with a warning)
+    for DeepSpeed-style container checkpoints that pickle non-tensor state.
+    Arbitrary-pickle execution is opt-in, not the default."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        print(
+            f"[ckpt] WARNING: {path} is not a plain-tensor checkpoint; "
+            "falling back to full unpickling — only load trusted files"
+        )
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
 def build_model_and_params(
     ckpt_path: Optional[str] = None,
     vae_ckpt_path: Optional[str] = None,
@@ -34,10 +50,7 @@ def build_model_and_params(
     params = init_params(model, jax.random.PRNGKey(seed), image_size)
 
     if ckpt_path and os.path.exists(ckpt_path):
-        import torch
-
-        sd = strip_prefixes(torch.load(ckpt_path, map_location="cpu",
-                                       weights_only=False))
+        sd = strip_prefixes(load_torch_checkpoint(ckpt_path))
         reports = {}
         for name, key_fn, prefix in [
             ("unet", unet_torch_key, "model.diffusion_model."),
@@ -55,9 +68,7 @@ def build_model_and_params(
                 print(f"[ckpt] {name}: {u} tensors loaded, {m} missing")
 
     if vae_ckpt_path and os.path.exists(vae_ckpt_path):
-        import torch
-
-        raw = torch.load(vae_ckpt_path, map_location="cpu", weights_only=False)
+        raw = load_torch_checkpoint(vae_ckpt_path)
         raw = raw.get("state_dict", raw)
         # vae.ckpt keys are 'model.'-prefixed (infer_geo4d.py:342-346)
         sd = {k[6:]: v for k, v in raw.items() if k.startswith("model.")}
@@ -72,18 +83,25 @@ def build_model_and_params(
 
 def prepare_inference_params(model, params, prompt: str,
                              bpe_path: Optional[str] = None):
-    """Inference-ready params: compute the text context once, DROP the text
-    tower (it's never used again — ~1.4 GB), and cast everything to bf16
-    (inference needs no f32 masters; halves weight HBM).
+    """Inference-ready params: compute the cond-prompt AND empty-prompt
+    text contexts once (the reference's uncond CFG branch embeds the empty
+    prompt, test_geo4d.py:172-177), DROP the text tower (it's never used
+    again — ~1.4 GB), and cast everything to bf16 (inference needs no f32
+    masters; halves weight HBM).
 
-    Returns (params_bf16, text_ctx (1, 77, ctx_dim) np.float32)."""
+    Returns (params_bf16, text_ctx, uncond_text_ctx) — each (1, 77, ctx_dim)
+    np.float32."""
     import jax.numpy as jnp
 
     from geo4d_tpu.core.dtypes import cast_floating
 
     text_ctx = compute_text_context(model, params, prompt, bpe_path)
+    if prompt == "":
+        uncond_text_ctx = text_ctx
+    else:
+        uncond_text_ctx = compute_text_context(model, params, "", bpe_path)
     params = {k: v for k, v in params.items() if k != "clip_text"}
-    return cast_floating(params, jnp.bfloat16), text_ctx
+    return cast_floating(params, jnp.bfloat16), text_ctx, uncond_text_ctx
 
 
 def compute_text_context(model, params, prompt: str, bpe_path: Optional[str] = None):

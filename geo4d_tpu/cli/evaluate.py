@@ -83,7 +83,7 @@ def main(argv=None):
     model, params = build_model_and_params(
         args.ckpt_path, args.vae_path, (h, w), args.seed
     )
-    params, text_ctx = prepare_inference_params(
+    params, text_ctx, uncond_text_ctx = prepare_inference_params(
         model, params, DEFAULT_PROMPT, args.bpe_path
     )
 
@@ -94,6 +94,7 @@ def main(argv=None):
         timestep_spacing=args.timestep_spacing,
         guidance_rescale=args.guidance_rescale,
         window_batch=args.window_batch,
+        sky_eps=0.1,  # eval-path mask eps (infer_geo4d.py:479); demo uses 0.35
     )
     acfg = AlignerConfig(n_iter=args.n_iter)
 
@@ -115,29 +116,61 @@ def main(argv=None):
             continue
         print(f"[eval] {seq}: {sample.frames.shape[0]} frames")
         intr = sample.intrinsics if args.use_gt_focal else None
+        # fs conditioning at eval is 24 regardless of dataset fps — the
+        # reference passes 24 // sl.step with step=1 (infer_geo4d.py:439)
         scene, preds, timing = reconstruct(
-            model, params, sample.frames, text_ctx, fps=sample.fps,
+            model, params, sample.frames, text_ctx, fps=24,
             inference_config=icfg, aligner_config=acfg, seed=args.seed,
-            intrinsics=intr,
+            intrinsics=intr, uncond_text_ctx=uncond_text_ctx,
         )
         for k in ("diffusion_s", "alignment_s", "frames"):
             total_time[k] += timing[k]
-        save_results_dir(
-            os.path.join(args.savedir, seq), scene, rgb_frames=sample.frames,
-            save_glb=False,
-        )
+        seq_dir = os.path.join(args.savedir, seq)
+        save_results_dir(seq_dir, scene, rgb_frames=sample.frames, save_glb=False)
+
+        # cross-window point-validity mask: AND of every window's sky/far
+        # validity at each frame (infer_geo4d.py:422,483 pnt_valid_mask)
+        n_frames = sample.frames.shape[0]
+        from geo4d_tpu.data.video import sliding_windows
+
+        groups = sliding_windows(n_frames, args.video_length, args.stride)
+        pnt_valid = np.ones((n_frames,) + preds["valid"].shape[2:], bool)
+        for g, idx in enumerate(groups):
+            pnt_valid[idx] &= preds["valid"][g]
 
         # ---- depth metrics ----
         if sample.gt_depth is not None:
+            import cv2
+
             n = min(len(sample.gt_depth), scene.N)
-            pred_d = resize_depth_to_gt(
-                scene.get_depthmaps()[:n], sample.gt_depth.shape[1:]
-            )
+            gt_hw = sample.gt_depth.shape[1:]
+            pred_d = resize_depth_to_gt(scene.get_depthmaps()[:n], gt_hw)
             gt_d = sample.gt_depth[:n]
             if args.dataset == "kitti":
-                res = depth_evaluation(pred_d, gt_d, max_depth=None, align="lad2")
+                # kitti: no max-depth clamp, no align mask (infer_geo4d.py:538)
+                res, err_map = depth_evaluation(
+                    pred_d, gt_d, max_depth=None, align="lad2",
+                    return_error_map=True,
+                )
             else:
-                res = depth_evaluation(pred_d, gt_d, max_depth=70.0, align="lad2")
+                # others: max 70 m + validity align-mask + lr 1e-2 / 5000
+                # iters + post-clip 70 (infer_geo4d.py:535-540)
+                amask = np.stack([
+                    cv2.resize(m.astype(np.float32), (gt_hw[1], gt_hw[0]),
+                               interpolation=cv2.INTER_CUBIC) > 0.8
+                    for m in pnt_valid[:n]
+                ])
+                res, err_map = depth_evaluation(
+                    pred_d, gt_d, max_depth=70.0, align="lad2",
+                    align_mask=amask, lr=1e-2, max_iters=5000,
+                    post_clip_max=70.0, return_error_map=True,
+                )
+            # per-frame relative-error map PNGs (infer_geo4d.py:541-544)
+            for i in range(err_map.shape[0]):
+                cv2.imwrite(
+                    os.path.join(seq_dir, f"error_{i}.png"),
+                    np.clip(err_map[i] * 255, 0, 255).astype(np.uint8),
+                )
             depth_rows.append(res)
             with open(depth_log, "a") as f:
                 f.write(f"{seq}: {res}\n")
@@ -159,6 +192,16 @@ def main(argv=None):
                 )
                 gt = Trajectory(gt.positions[:n], gt.rotations[:n], gt.timestamps[:n])
                 ate, rpe_t, rpe_r = eval_metrics(pred_traj, gt)
+                # per-sequence trajectory plot (infer_geo4d.py:587)
+                try:
+                    from geo4d_tpu.evals.plots import plot_trajectory
+
+                    plot_trajectory(
+                        os.path.join(args.savedir, f"{seq}.png"),
+                        pred_traj, gt, title=seq,
+                    )
+                except Exception as e:
+                    print(f"[eval] trajectory plot failed for {seq}: {e}")
                 pose_rows.append((ate, rpe_t, rpe_r))
                 with open(pose_log, "a") as f:
                     f.write(f"{seq}: ATE {ate:.5f} RPE_t {rpe_t:.5f} "
@@ -166,6 +209,9 @@ def main(argv=None):
                 print(f"[eval] {seq} ATE {ate:.4f} RPE_t {rpe_t:.4f} "
                       f"RPE_r {rpe_r:.4f}")
             except Exception as e:  # one bad sequence must not kill the run
+                # reference appends zeros on failure and reports the
+                # nonzero mean (infer_geo4d.py:592-596,627-634)
+                pose_rows.append((0.0, 0.0, 0.0))
                 print(f"[eval] pose eval failed for {seq}: {e}")
 
     # ---- aggregate (valid-pixel-weighted means, infer_geo4d.py:614-625) ----
@@ -180,10 +226,15 @@ def main(argv=None):
                 f.write(f"{key}: {val:.5f}\n")
                 print(f"[eval] weighted {key}: {val:.5f}")
         if pose_rows:
+            # nonzero mean — failed sequences (recorded as 0) are excluded
+            # (infer_geo4d.py:627-634)
             arr = np.asarray(pose_rows)
             for i, name in enumerate(["ATE", "RPE_trans", "RPE_rot"]):
-                f.write(f"{name}: {arr[:, i].mean():.5f}\n")
-                print(f"[eval] mean {name}: {arr[:, i].mean():.5f}")
+                col = arr[:, i]
+                nz = col[np.nonzero(col)]
+                val = float(nz.mean()) if nz.size else 0.0
+                f.write(f"{name}: {val:.5f}\n")
+                print(f"[eval] mean {name}: {val:.5f}")
     if total_time["frames"]:
         total_time["sec_per_frame"] = (
             total_time["diffusion_s"] + total_time["alignment_s"]

@@ -89,7 +89,7 @@ def main(argv=None):
         )
     if args.ckpt_path is None:
         print("[infer] WARNING: no checkpoint given — random weights")
-    params, text_ctx = prepare_inference_params(
+    params, text_ctx, uncond_text_ctx = prepare_inference_params(
         model, params, args.prompt if args.text_input else "", args.bpe_path
     )
 
@@ -108,6 +108,7 @@ def main(argv=None):
     scene, preds, timing = reconstruct(
         model, params, frames, text_ctx, fps=fps,
         inference_config=icfg, aligner_config=acfg, seed=args.seed, verbose=True,
+        uncond_text_ctx=uncond_text_ctx,
     )
     save_results_dir(out_dir, scene, rgb_frames=frames)
     save_time_cost(os.path.join(args.savedir, seq, "time_cost.txt"), timing)

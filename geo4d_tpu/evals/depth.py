@@ -109,14 +109,18 @@ def scale_only_irls(pred, gt, mask, num_iters: int = 10):
 
 def depth_metrics(pred_aligned, gt, mask) -> Dict[str, float]:
     """AbsRel/SqRel/RMSE/logRMSE/δ-thresholds over masked pixels
-    (depth_eval.py:302-317). Pure numpy on host (final reporting)."""
+    (depth_eval.py:302-317). Pure numpy on host (final reporting).
+
+    Clamping mirrors the reference exactly: AbsRel/SqRel/RMSE use the raw
+    aligned prediction (which may be negative after shift); the prediction
+    is clamped to 1e-5 only before the log and δ-ratio terms
+    (depth_eval.py:311-317)."""
     pred = np.asarray(pred_aligned)[np.asarray(mask)]
     g = np.asarray(gt)[np.asarray(mask)]
-    pred = np.clip(pred, 1e-8, None)
-    g = np.clip(g, 1e-8, None)
     abs_rel = float(np.mean(np.abs(pred - g) / g))
     sq_rel = float(np.mean((pred - g) ** 2 / g))
     rmse = float(np.sqrt(np.mean((pred - g) ** 2)))
+    pred = np.clip(pred, 1e-5, None)
     log_rmse = float(np.sqrt(np.mean((np.log(pred) - np.log(g)) ** 2)))
     ratio = np.maximum(pred / g, g / pred)
     return {
@@ -140,14 +144,25 @@ def depth_evaluation(
     align_mask: Optional[np.ndarray] = None,
     lr: float = 1e-4,
     max_iters: int = 1000,
+    post_clip_min: Optional[float] = None,
+    post_clip_max: Optional[float] = None,
     return_st: bool = False,
-) -> Dict[str, float]:
+    return_error_map: bool = False,
+):
     """End-to-end evaluation of flattened depth (or disparity) arrays.
 
     Mirrors the reference call signature semantics: metrics are computed on
     `custom_mask ∧ valid`, alignment is fit on `align_mask ∧ valid` when
-    given (infer_geo4d.py:537-540 uses a pnt-validity align mask).
+    given (infer_geo4d.py:537-540 uses a pnt-validity align mask); the
+    aligned prediction is clipped to [post_clip_min, post_clip_max] before
+    metrics (depth_eval.py:291-296, eval passes post_clip_max=70).
+
+    With return_error_map, also returns the per-pixel relative-error parity
+    map |s·pred+t − gt|/gt (zeroed outside the validity mask;
+    depth_eval.py:322-340 — the eval loop writes it as PNGs,
+    infer_geo4d.py:541-544).
     """
+    shape = np.asarray(gt).shape
     pred = np.asarray(pred, np.float32).reshape(-1)
     gt = np.asarray(gt, np.float32).reshape(-1)
     valid = gt > 0
@@ -170,8 +185,17 @@ def depth_evaluation(
         s, t = jnp.asarray(1.0), jnp.asarray(0.0)
 
     aligned = float(s) * pred + float(t)
+    if post_clip_min is not None:
+        aligned = np.clip(aligned, post_clip_min, None)
+    if post_clip_max is not None:
+        aligned = np.clip(aligned, None, post_clip_max)
     out = depth_metrics(aligned, gt, metric_mask)
     if return_st:
         out["s"] = float(s)
         out["t"] = float(t)
+    if return_error_map:
+        err = np.zeros_like(gt)
+        raw_aligned = float(s) * pred + float(t)
+        err[valid] = np.abs(raw_aligned[valid] - gt[valid]) / gt[valid]
+        return out, err.reshape(shape)
     return out

@@ -93,28 +93,34 @@ class WindowPredictor:
         cfg = self.cfg
         model = self.model
 
-        def run(params, frames, text_ctx, fs, key):
+        def run(params, frames, text_ctx, uncond_text_ctx, fs, key):
             """frames (B, T, H, W, 3) -> decoded geometry maps dict."""
             b, t = frames.shape[:2]
             img_ctx = model.embed_frames(params, frames)       # (B, T*16, C)
-            ctx = jnp.concatenate(
-                [jnp.broadcast_to(text_ctx, (b, *text_ctx.shape[1:])), img_ctx],
-                axis=1,
-            )
+            bcast = lambda c: jnp.broadcast_to(c, (b, *c.shape[1:]))
+            ctx = jnp.concatenate([bcast(text_ctx), img_ctx], axis=1)
             key_enc, key_samp = jax.random.split(key)
             z_video = model.encode_first_stage(params, frames, key_enc)
 
+            # CFG branches (test_geo4d.py:172-199): uncond = empty-prompt
+            # text + zero-image; the multi-cond middle branch = empty-prompt
+            # text + REAL image tokens (ddim_multiplecond.py:220-234)
             uncond_ctx = None
+            uncond_img_ctx = None
             if cfg.cfg_scale != 1.0:
                 zeros_img = model.embed_frames(params, jnp.zeros_like(frames))
                 uncond_ctx = jnp.concatenate(
-                    [jnp.broadcast_to(text_ctx, (b, *text_ctx.shape[1:])), zeros_img],
-                    axis=1,
+                    [bcast(uncond_text_ctx), zeros_img], axis=1
                 )
+                if cfg.cfg_img is not None and cfg.cfg_img != 1.0:
+                    uncond_img_ctx = jnp.concatenate(
+                        [bcast(uncond_text_ctx), img_ctx], axis=1
+                    )
 
             samples = model.sample_window(
                 params, key_samp, ctx, z_video, fs,
                 uncond_context=uncond_ctx,
+                uncond_img_context=uncond_img_ctx,
                 num_steps=cfg.ddim_steps,
                 timestep_spacing=cfg.timestep_spacing,
                 eta=cfg.ddim_eta,
@@ -154,6 +160,7 @@ class WindowPredictor:
         text_ctx: np.ndarray,         # (1, 77, 1024)
         fps: int,
         seed: int = 123,
+        uncond_text_ctx: Optional[np.ndarray] = None,  # empty-prompt ctx
     ) -> Dict[str, np.ndarray]:
         """Run diffusion for all windows (chunked), then recover per-window
         diffusion cameras from the Plücker maps."""
@@ -168,6 +175,8 @@ class WindowPredictor:
         if self._window_sharding is not None:
             # one window per device per launch (at least)
             bs = max(bs, self.mesh.size)
+        if uncond_text_ctx is None:
+            uncond_text_ctx = text_ctx
         key = jax.random.PRNGKey(seed)
         for start in range(0, g_total, bs):
             chunk = frames_windows[start : start + bs]
@@ -179,7 +188,8 @@ class WindowPredictor:
             chunk_dev = jnp.asarray(chunk)
             if self._window_sharding is not None:
                 chunk_dev = jax.device_put(chunk_dev, self._window_sharding)
-            out = run(self.params, chunk_dev, jnp.asarray(text_ctx), fs, sub)
+            out = run(self.params, chunk_dev, jnp.asarray(text_ctx),
+                      jnp.asarray(uncond_text_ctx), fs, sub)
             out = {k: np.asarray(v) for k, v in out.items()}
             if pad:
                 out = {k: v[:-pad] for k, v in out.items()}
@@ -219,6 +229,7 @@ def reconstruct(
     intrinsics: Optional[np.ndarray] = None,
     mesh=None,
     verbose: bool = False,
+    uncond_text_ctx: Optional[np.ndarray] = None,
 ) -> Tuple[GroupAligner, Dict[str, np.ndarray], Dict[str, float]]:
     """Full pipeline: windows -> diffusion -> group alignment.
 
@@ -230,7 +241,9 @@ def reconstruct(
 
     predictor = WindowPredictor(model, params, inference_config, mesh=mesh)
     t0 = time.time()
-    preds = predictor.predict_windows(frames_windows, text_ctx, fps, seed)
+    preds = predictor.predict_windows(
+        frames_windows, text_ctx, fps, seed, uncond_text_ctx=uncond_text_ctx
+    )
     jax.block_until_ready(preds["pts3d"])
     t_diffusion = time.time() - t0
 

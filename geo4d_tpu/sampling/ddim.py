@@ -63,7 +63,9 @@ def _rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
     axes = tuple(range(1, noise_cfg.ndim))
     std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
     std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
-    rescaled = noise_cfg * (std_text / std_cfg)
+    # eps guards the degenerate all-zero-output case (fresh zero-init
+    # models); at real activation scales it is a no-op
+    rescaled = noise_cfg * (std_text / jnp.maximum(std_cfg, 1e-12))
     return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
 
 

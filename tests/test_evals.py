@@ -137,3 +137,41 @@ def test_depth_evaluation_masking(rng):
     out = depth_evaluation(pred, gt, align="none")
     assert out["valid_pixels"] == int((gt > 0).sum())
     assert out["Abs Rel"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_depth_evaluation_post_clip_and_error_map(rng):
+    """post_clip_max clamps the aligned prediction before metrics
+    (depth_eval.py:291-296); the error parity map is |aligned - gt|/gt on
+    valid pixels, zero elsewhere (depth_eval.py:322-340)."""
+    gt = rng.uniform(1, 30, size=(2, 8, 8)).astype(np.float32)
+    gt[0, 0, 0] = 0.0  # one invalid pixel
+    pred = gt.copy()
+    pred[1, 3, 3] = 500.0  # an outlier the post-clip must tame
+    out, err = depth_evaluation(
+        pred, gt, align="none", post_clip_max=70.0, return_error_map=True
+    )
+    assert err.shape == gt.shape
+    assert err[0, 0, 0] == 0.0  # invalid pixel zeroed
+    # outlier error present in the (unclipped) map
+    assert err[1, 3, 3] > 1.0
+    # but metrics saw the clipped value: max error bounded by clip
+    n_valid = out["valid_pixels"]
+    max_contrib = (70.0 - gt[1, 3, 3]) ** 2 / gt[1, 3, 3]
+    assert out["Sq Rel"] <= max_contrib / n_valid * n_valid + 1e-3
+
+
+def test_depth_evaluation_align_mask_fit_subset(rng):
+    """align_mask restricts the alignment fit but NOT the metric pixels
+    (infer_geo4d.py:537-540 semantics)."""
+    gt = rng.uniform(1, 10, size=4000).astype(np.float32)
+    pred = gt / 2.0
+    # corrupt the second half of predictions; align only on the clean half
+    pred[2000:] *= 10
+    amask = np.zeros(4000, bool)
+    amask[:2000] = True
+    out = depth_evaluation(pred, gt, align="lstsq", align_mask=amask)
+    # fit recovered s=2 from the clean half -> clean half has ~0 error,
+    # corrupted half has large error; metrics cover ALL pixels
+    assert out["valid_pixels"] == 4000
+    assert 0.3 < out["Abs Rel"]          # corrupted half included in metrics
+    assert out["δ < 1.25"] == pytest.approx(0.5, abs=0.05)

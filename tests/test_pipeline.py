@@ -64,6 +64,51 @@ def test_window_predictor_shapes(tiny_setup):
     assert out["conf"].min() >= 0.0
 
 
+def test_cfg_branches(tiny_setup):
+    """2-way and 3-way CFG run end-to-end through the window predictor with
+    an empty-prompt uncond context (test_geo4d.py:172-199 +
+    ddim_multiplecond.py:220-234). cfg=1 vs cfg=2 must differ (the guidance
+    is live), and all branches must stay finite."""
+    model, params, (H, W, T) = tiny_setup
+    # randomize zero-init tails (out convs) so the UNet output is nonzero —
+    # otherwise every CFG combination of a zero output is identically zero
+    rng_fill = np.random.default_rng(7)
+
+    def fill_zeros(leaf):
+        a = np.asarray(leaf)
+        if a.dtype.kind == "f" and a.size and not a.any():
+            return rng_fill.normal(scale=0.05, size=a.shape).astype(a.dtype)
+        return leaf
+
+    params = dict(params)
+    params["unet"] = jax.tree_util.tree_map(fill_zeros, params["unet"])
+
+    frames = np.random.default_rng(2).normal(
+        scale=0.3, size=(1, T, H, W, 3)
+    ).astype(np.float32)
+    text_ctx = np.random.default_rng(3).normal(
+        scale=0.1, size=(1, 77, model.unet.context_dim)
+    ).astype(np.float32)
+    uc_text = np.zeros_like(text_ctx)
+
+    outs = {}
+    for name, cfgkw in [
+        ("nocfg", dict(cfg_scale=1.0)),
+        ("cfg2", dict(cfg_scale=2.0)),
+        ("multicond", dict(cfg_scale=2.0, cfg_img=1.5)),
+    ]:
+        cfg = InferenceConfig(window=T, stride=2, ddim_steps=2, **cfgkw)
+        predictor = WindowPredictor(model, params, cfg)
+        out = predictor.predict_windows(
+            frames, text_ctx, fps=24, uncond_text_ctx=uc_text
+        )
+        assert out["pts3d"].shape == (1, T, H, W, 3)
+        assert np.isfinite(out["pts3d"]).all(), name
+        outs[name] = out["pts3d"]
+    assert not np.allclose(outs["nocfg"], outs["cfg2"])
+    assert not np.allclose(outs["cfg2"], outs["multicond"])
+
+
 def test_full_reconstruct_and_export(tiny_setup, tmp_path):
     model, params, (H, W, T) = tiny_setup
     frames = np.random.default_rng(1).normal(scale=0.3, size=(8, H, W, 3)).astype(
