@@ -1,28 +1,37 @@
-"""Benchmark: end-to-end per-window diffusion throughput on real hardware.
+"""Benchmark: END-TO-END video->4D throughput on real hardware.
 
-Measures the full per-window hot path at Sintel eval resolution (576x256,
-16 frames): CLIP image embedding + resampler, VAE encode, 5-step DDIM over
-the full 1.44B-param UNet (uniform_trailing, cfg 1.0 — the eval preset),
-and the batched 4-head geometry decode, all as one jitted function.
+Measures the metric the reference's own harness reports — seconds/frame of
+(window diffusion + group alignment), the `time_cost.txt` definition
+(scripts/evaluation/infer_geo4d.py:437-463,503-511,640-648) — on a
+32-frame synthetic video at Sintel eval resolution (576x256) with the
+full eval preset: 5-step DDIM over the 1.44B-param UNet, 4-head geometry
+decode, 16-frame windows stride 4 (5 windows), group alignment with 500
+iters + iter-150 batched-lad2 calibration.
 
-Measurement notes: on the axon-tunneled TPU, block_until_ready does not
-synchronize remote execution, so each timed run fetches a scalar checksum
-of the outputs to host — that round-trip bounds the true completion time.
-Params are zeros (eval_shape) — latency is weight-value independent.
+Steady-state protocol: the pipeline runs once to populate jit caches
+(compile time reported separately), then the timed run uses fresh window
+RNG inputs (the axon tunnel caches repeated executions by value). Params
+are zeros (eval_shape) — latency is weight-value independent; degenerate
+predictions make host PnP fall back to identity, which is the cheap path,
+so init-time is if anything UNDER-counted for us, not over.
 
 Prints ONE JSON line. `vs_baseline`: the reference publishes no numbers
 (BASELINE.json published={}), so the anchor is a first-principles A100
-estimate of the reference's same per-window stage, pending a direct timing
-of the reference harness on GPU hardware:
-  UNet fwd = 11.2 TFLOP (measured via XLA cost analysis of the identical
-  architecture); A100 fp16 ~312 TFLOP/s peak at ~30% utilization (typical
-  torch eager SD-UNet) -> ~120 ms/step x 5 DDIM steps = 0.60 s
-  + 4 heads x 16 frames per-frame VAE decode (--perframe_ae, the eval
-    flag) ~15 ms/frame -> 0.96 s
-  + CLIP ViT-H x16 + VAE encode x16 -> ~0.35 s
-  => ~1.9 s/window = ~8.4 frames/s on A100.
-BASELINE.md north star: >=3x that on a v5e-8 pod (this bench is 1 chip;
-windows shard linearly across chips — parallel/mesh.py).
+estimate of the same e2e stage, pending a direct timing of the reference
+harness on GPU hardware:
+  diffusion: UNet fwd = 11.2 TFLOP (XLA cost analysis of the identical
+    architecture); A100 fp16 ~312 TFLOP/s at ~30% eager-torch utilization
+    -> ~120 ms/step x 5 steps + perframe 4-head VAE decode (~0.96 s) +
+    CLIP ViT-H x16 + VAE enc (~0.35 s) => ~1.9 s/window x 5 windows = 9.5 s
+  alignment (reference runs it eagerly on GPU, base_opt_group.py:553-608):
+    500 iters x ~25 ms/iter eager fwd+bwd over (G,S,P) tensors = 12.5 s
+    + iter-150 lad2 calibration: 3 lrs x 3000 Adam steps x 5 groups,
+      sequential eager (optimizer_group.py:345-366) ~ 0.9 ms/step = 13.5 s
+    + host init (scipy-LM focal per window + PnP per frame + sim3) ~ 4 s
+    => ~30 s
+  e2e: 32 frames / 39.5 s = 0.81 frames/s on A100.
+BASELINE.md north star: >=3x that. This bench runs on ONE chip; windows
+shard linearly across a mesh (parallel/mesh.py) for the pod-level number.
 """
 
 import json
@@ -31,26 +40,22 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-A100_EST_FRAMES_PER_SEC = 8.4
+A100_E2E_FRAMES_PER_SEC = 0.81
 
 
-def main():
+def build_zero_params(model, H, W, T):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from geo4d_tpu.models.diffusion import GeoDiffusion
-    from geo4d_tpu.pipeline.inference import InferenceConfig, WindowPredictor
-
-    H, W, T = 256, 576, 16
-    model = GeoDiffusion()
-    cfg = InferenceConfig(window_batch=1)
-
-    t0 = time.time()
+    from geo4d_tpu.core.dtypes import cast_floating
 
     def zeros_like_shapes(shapes):
-        return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        )
 
     rng = jax.random.PRNGKey(0)
     params = {}
@@ -75,51 +80,65 @@ def main():
     params["resampler"] = zeros_like_shapes(jax.eval_shape(
         lambda k: model.resampler.init(k, jnp.zeros((1, T, 257, 1280))), rng,
     ))
-    from geo4d_tpu.core.dtypes import cast_floating
+    return cast_floating(params, jnp.bfloat16)
 
-    params = cast_floating(params, jnp.bfloat16)
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from geo4d_tpu.alignment.optimizer import AlignerConfig
+    from geo4d_tpu.models.diffusion import GeoDiffusion
+    from geo4d_tpu.pipeline.inference import InferenceConfig, reconstruct
+
+    H, W, T = 256, 576, 16
+    N_FRAMES = 32
+    model = GeoDiffusion()
+
+    t0 = time.time()
+    params = build_zero_params(model, H, W, T)
     init_s = time.time() - t0
 
-    text_ctx = jnp.zeros((1, 77, 1024), jnp.float32)
-    predictor = WindowPredictor(model, params, cfg)
-    window_fn = predictor._window_fn()
+    text_ctx = np.zeros((1, 77, 1024), np.float32)
+    icfg = InferenceConfig(window_batch=1, sky_eps=0.1)
+    acfg = AlignerConfig(n_iter=500)
 
-    def run_with_checksum(params, frames, text_ctx, fs, key):
-        out = window_fn(params, frames, text_ctx, text_ctx, fs, key)
-        # checksum over every output forces full materialization
-        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values()
-                   if v.dtype != jnp.bool_)
+    def synth_frames(seed):
+        rng = np.random.default_rng(seed)
+        return (rng.normal(scale=0.1, size=(N_FRAMES, H, W, 3))
+                .astype(np.float32))
 
-    run = jax.jit(run_with_checksum)
-    fs = jnp.full((1,), 24, jnp.int32)
-
-    # distinct inputs per call (the tunnel caches repeated executions)
-    keys = jax.random.split(jax.random.PRNGKey(1), 8)
-    frames_list = [
-        jax.random.normal(k, (1, T, H, W, 3), jnp.float32) * 0.1 for k in keys
-    ]
-    jax.block_until_ready(frames_list)
-
+    print(f"# params ready ({init_s:.0f}s), warm-up run...", file=sys.stderr)
+    # warm-up: populates jit caches for the window fn + both aligner phases
     t0 = time.time()
-    _ = float(run(params, frames_list[0], text_ctx, fs, keys[0]))  # compile
+    _, _, t_warm = reconstruct(model, params, synth_frames(0), text_ctx, fps=24,
+                               inference_config=icfg, aligner_config=acfg,
+                               seed=123)
     compile_s = time.time() - t0
+    print(f"# warm-up {compile_s:.0f}s (diff {t_warm['diffusion_s']:.0f}s "
+          f"align {t_warm['alignment_s']:.0f}s), timed run...", file=sys.stderr)
 
-    n_runs = 5
+    # timed run on fresh inputs
     t0 = time.time()
-    for i in range(1, n_runs + 1):
-        _ = float(run(params, frames_list[i], text_ctx, fs, keys[i]))
-    per_window = (time.time() - t0) / n_runs
+    _, _, timing = reconstruct(model, params, synth_frames(1), text_ctx,
+                               fps=24, inference_config=icfg,
+                               aligner_config=acfg, seed=124)
+    e2e_s = time.time() - t0
 
-    frames_per_sec = T / per_window
+    frames_per_sec = N_FRAMES / e2e_s
     result = {
-        "metric": "window_diffusion_frames_per_sec",
-        "value": round(frames_per_sec, 2),
-        "unit": "frames/s (16f window @576x256: CLIP+VAE enc+5-step DDIM 1.44B UNet+4-head decode)",
-        "vs_baseline": round(frames_per_sec / A100_EST_FRAMES_PER_SEC, 2),
+        "metric": "e2e_video4d_frames_per_sec",
+        "value": round(frames_per_sec, 3),
+        "unit": ("frames/s e2e (32f @576x256: 5x[CLIP+VAE enc+5-step DDIM "
+                 "1.44B UNet+4-head decode] + group align 500 iters, "
+                 "time_cost.txt definition)"),
+        "vs_baseline": round(frames_per_sec / A100_E2E_FRAMES_PER_SEC, 2),
     }
     print(json.dumps(result))
     print(
-        f"# per-window {per_window*1000:.0f} ms | compile {compile_s:.0f}s | "
+        f"# e2e {e2e_s:.1f}s ({timing['diffusion_s']:.1f}s diffusion + "
+        f"{timing['alignment_s']:.1f}s align) | warmup(compile) {compile_s:.0f}s | "
         f"init {init_s:.0f}s",
         file=sys.stderr,
     )

@@ -17,8 +17,14 @@ Parity target: reference dust3r/cloud_opt/init_im_poses.py —
     scale normalization, per-frame depth init from world points with
     sky-mask depth fill (:588-629).
 
-Host/device split: PnP + bookkeeping on host (tiny tensors, C++ OpenCV),
-focal solve + Umeyama on device (batched).
+Host/device split: the WHOLE init chain runs on host (numpy + C++ OpenCV
+PnP — mirroring the reference, whose roma/scipy/cv2 init is CPU-side too)
+except the one batched MoGe focal solve, which downsamples on host first
+so only (G, 64, 64, 3) crosses to the device. Rationale: init touches
+multi-megapoint overlap tensors but does only means/3x3-SVDs on them —
+per-call transfer to a (possibly remote) device costs orders of magnitude
+more than the math; measured 1024 s -> ~10 s for a 32-frame sequence on a
+tunneled TPU by keeping it host-side.
 """
 
 from __future__ import annotations
@@ -31,8 +37,17 @@ import numpy as np
 from geo4d_tpu.alignment.optimizer import GroupAligner
 from geo4d_tpu.geometry.moge import point_map_to_depth
 from geo4d_tpu.geometry.pnp import fast_pnp
-from geo4d_tpu.geometry.se3 import umeyama_sim3
-from geo4d_tpu.geometry.utils import inv_se3
+from geo4d_tpu.geometry.se3 import umeyama_sim3_np
+
+
+def _inv_se3_np(T: np.ndarray) -> np.ndarray:
+    """Host inverse of a rigid 4x4 (R.T | -R.T t)."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    out = np.eye(4)
+    out[:3, :3] = R.T
+    out[:3, 3] = -R.T @ t
+    return out
 
 
 def recover_group_focals(
@@ -46,9 +61,24 @@ def recover_group_focals(
     pts = ref_pointmaps.copy()
     # shift z to be positive (reference: z - z.min() + 1)
     pts[..., 2] = pts[..., 2] - pts[..., 2].min() + 1.0
+    # threshold matches the reference exactly (init_im_poses.py:256
+    # `mask = ref_conf > 0.5` on the same inverse-softplus weights)
     mask = ref_conf > 0.5
+    # deliberate divergence: the reference solves at FULL resolution
+    # (init_im_poses.py:261 passes downsample_size=(H,W)); we use MoGe's
+    # own recommended 64x64 downsample (utils/geometry.py:173 "downsampling
+    # produces approximate solution and is efficient for large maps") —
+    # ~60 s/sequence cheaper, and focal is refined by the optimizer anyway.
+    # The downsample happens HERE on host so only (G, 64, 64) tensors cross
+    # to the device for the batched Gauss-Newton solve.
+    dh = dw = 64
+    yi = (np.arange(dh) * h) // dh
+    xi = (np.arange(dw) * w) // dw
+    pts_lr = pts[:, yi][:, :, xi]
+    mask_lr = mask[:, yi][:, :, xi]
     _, fov_x, fov_y, _ = point_map_to_depth(
-        jnp.asarray(pts, jnp.float32), jnp.asarray(mask), downsample_size=(h, w)
+        jnp.asarray(pts_lr, jnp.float32), jnp.asarray(mask_lr),
+        downsample_size=(dh, dw), image_size=(h, w),
     )
     # normalized focal -> pixel focal, averaged over axes
     # (reference builds K from fov then f_px = (fx*W + fy*H)/2)
@@ -118,11 +148,11 @@ def init_from_group(
                     (conf[g, s_idx] * conf_list[img_idx]).reshape(-1)
                 )
         assert overlap_pred, "windows must overlap (stride < window size)"
-        src = jnp.asarray(np.concatenate(overlap_pred), jnp.float32)
-        dst = jnp.asarray(np.concatenate(overlap_pts), jnp.float32)
-        wts = jnp.asarray(np.concatenate(overlap_conf), jnp.float32)
-        s, R, t = umeyama_sim3(src, dst, wts)
-        s, R, t = float(s), np.asarray(R, np.float64), np.asarray(t, np.float64)
+        s, R, t = umeyama_sim3_np(
+            np.concatenate(overlap_pred),
+            np.concatenate(overlap_pts),
+            np.concatenate(overlap_conf),
+        )
 
         for s_idx, img_idx in enumerate(groups[g]):
             # frames nearer window-start are assumed more accurate; later
@@ -138,23 +168,21 @@ def init_from_group(
 
     # ---- init_from_pts3d_group ----
     # per-window sim3 pw_poses from window preds -> placed world points
-    pw_scales = []
+    pw_scales, pw_R, pw_t = [], [], []
     for g in range(G):
-        src = jnp.asarray(
-            pred_pts[g].reshape(-1, 3), jnp.float32
-        )
-        dst = jnp.asarray(
-            np.stack([pts3d[i] for i in groups[g]]).reshape(-1, 3), jnp.float32
-        )
-        wts = jnp.asarray(
+        s, R, t = umeyama_sim3_np(
+            pred_pts[g].reshape(-1, 3),
+            np.stack([pts3d[i] for i in groups[g]]).reshape(-1, 3),
             np.stack(
                 [conf[g, s_idx] * conf_list[i] for s_idx, i in enumerate(groups[g])]
             ).reshape(-1),
-            jnp.float32,
         )
-        s, R, t = umeyama_sim3(src, dst, wts)
-        aligner.set_pw_pose(g, float(s), np.asarray(R), np.asarray(t))
-        pw_scales.append(float(s))
+        pw_scales.append(s)
+        pw_R.append(R)
+        pw_t.append(t)
+    aligner.set_pw_poses_all(
+        np.asarray(pw_scales), np.stack(pw_R), np.stack(pw_t)
+    )
 
     # global scale normalization so mean window scale == base_scale
     scales = np.clip(np.asarray(pw_scales), 1e-6, 1e6)
@@ -165,18 +193,19 @@ def init_from_group(
     for i in range(N):
         pts3d[i] = pts3d[i] * s_factor
 
-    # per-frame depth init from world points + sky fill
+    # per-frame depth init from world points + sky fill (host, batched write)
     sky_distance = None
+    depths = np.empty((N, H * W), np.float64)
     for i in range(N):
-        c2w = im_poses_arr[i]
-        w2c = np.asarray(inv_se3(jnp.asarray(c2w, jnp.float32)))
+        w2c = _inv_se3_np(im_poses_arr[i])
         depth = (pts3d[i].reshape(-1, 3) @ w2c[:3, :3].T + w2c[:3, 3])[:, 2]
         sky = conf_list[i].reshape(-1) < 1e-4
         if i == 0:
             sky_distance = depth.max()
         depth[sky] = sky_distance
-        aligner.set_depthmap(i, depth)
-        aligner.set_pose(i, c2w)
+        depths[i] = depth
+    aligner.set_depthmaps_all(depths)
+    aligner.set_poses_all(im_poses_arr)
 
     if cfg.shared_focal:
         vals = [f for f in im_focals if f is not None]
@@ -210,22 +239,22 @@ def init_from_known_poses(
     G, S = groups.shape
     h, w = aligner.H, aligner.W
     aligner.preset_focal(np.atleast_1d(focals), requires_grad=False)
-    for i in range(aligner.N):
-        aligner.set_pose(i, poses_c2w[i])
+    aligner.set_poses_all(np.asarray(poses_c2w, np.float64))
 
-    f = float(np.atleast_1d(focals)[0])
     # place each window into world via its first frame's known camera
-    for g in range(G):
-        c2w0 = poses_c2w[groups[g, 0]]
-        s, R, t = 1.0, c2w0[:3, :3], c2w0[:3, 3]
-        aligner.set_pw_pose(g, s, R, t)
+    c2w0 = poses_c2w[groups[:, 0]]
+    aligner.set_pw_poses_all(
+        np.ones((G,)), np.asarray(c2w0[:, :3, :3]), np.asarray(c2w0[:, :3, 3])
+    )
 
     # depth init: z of window preds in their own (first-frame) camera frame
-    seen = {}
+    depths = np.ones((aligner.N, h * w), np.float64)
+    seen = set()
     for g in range(G):
         for s_idx, img_idx in enumerate(groups[g]):
             if img_idx in seen:
                 continue
             depth = np.asarray(pred_pts[g, s_idx, ..., 2]).reshape(-1)
-            aligner.set_depthmap(img_idx, np.clip(depth, 1e-4, None))
-            seen[img_idx] = True
+            depths[img_idx] = np.clip(depth, 1e-4, None)
+            seen.add(img_idx)
+    aligner.set_depthmaps_all(depths)

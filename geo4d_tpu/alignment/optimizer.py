@@ -24,6 +24,12 @@ per-iter `empty_cache` (base_opt_group.py:611-622). Here each phase is ONE
 jitted `lax.scan` of Adam steps — the whole 500-iteration optimization is
 two device launches, with the iter-150 disparity/trajectory calibration
 (batched lad2 + per-group origin alignment) between them.
+
+Compile-reuse design: the scan is a module-level jitted function taking
+every buffer as an ARGUMENT (nothing closed over as a constant), and the
+frame/window counts are bucketed (padded with zero-weight windows/frames)
+so a multi-sequence eval re-uses one compiled executable across sequences
+of similar length instead of recompiling per (G, N).
 """
 
 from __future__ import annotations
@@ -37,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from geo4d_tpu.evals.depth import lad2_align
+from geo4d_tpu.evals.depth import lad2_align, lad2_align_batched
 from geo4d_tpu.evals.trajectory import (
     Trajectory,
     align_trajectory_with_eval,
@@ -72,6 +78,255 @@ class AlignerConfig:
     rpe_rot_valid_deg: float = 4.0       # traj group gate (optimizer_group.py:262)
     delta_valid_thr: float = 0.3         # depth group gate (optimizer_group.py:368)
     min_conf_thr: float = 3.0
+    # optional rigid-flow consistency to externally-supplied flow (RAFT in
+    # the reference stack). The reference config carries these knobs
+    # (configs/inference_geo4d.yaml:171-177) though its group optimizer
+    # never applies them (optimizer_group.py stores flow_loss_weight at
+    # :37-52 and drops it); here the term is live when weight > 0 and
+    # target flows are provided.
+    flow_loss_weight: float = 0.0
+    flow_loss_fn: str = "l1"             # 'l1' | 'l2'
+    flow_loss_start_frac: float = 0.1    # fraction of n_iter before flow on
+    motion_mask_thre: float = 0.35       # mask out moving pixels (flow term)
+    depth_regularize_weight: float = 0.0 # si-log pull to init depth
+    # shape bucketing: pad window/frame counts up to these multiples so the
+    # two phase scans compile once per bucket, not once per sequence length
+    bucket_groups: int = 4
+    bucket_frames: int = 8
+
+
+def _round_up(n: int, k: int) -> int:
+    return n if k <= 1 else ((n + k - 1) // k) * k
+
+
+def _safe_norm(x, axis=-1):
+    """L2 norm with a finite gradient at 0 (jnp.linalg.norm's gradient is
+    NaN at exactly 0 — hit by identical adjacent poses / perfectly matched
+    points)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-12)
+
+
+def _rel_pose_loss(RT1, RT2, translation_weight):
+    """Frobenius(R_rel - I) + w*|t_rel| (optimizer_group.py:529-542)."""
+    rel = jnp.einsum("nij,njk->nik", inv_se3(RT1), RT2)
+    rot = jnp.sqrt(
+        jnp.sum((rel[:, :3, :3] - jnp.eye(3)) ** 2, axis=(-2, -1)) + 1e-12
+    )
+    trans = _safe_norm(rel[:, :3, 3])
+    return rot + translation_weight * trans
+
+
+def _focals(params, cfg: AlignerConfig, n: int) -> jnp.ndarray:
+    f = jnp.exp(params["focal"] / cfg.focal_break)
+    if cfg.shared_focal:
+        f = jnp.broadcast_to(f, (n,))
+    return f
+
+
+def _pw_scale(params, cfg: AlignerConfig, group_valid) -> jnp.ndarray:
+    """Scale normalization over REAL windows only (padded rows excluded
+    from the mean so bucketing does not perturb the normalizer)."""
+    logs = params["pw_poses"][:, 7]
+    mean = jnp.sum(logs * group_valid) / jnp.maximum(jnp.sum(group_valid), 1.0)
+    norm = jnp.exp(jnp.log(cfg.base_scale) - mean)
+    return jnp.exp(logs) * norm
+
+
+def _pts3d_world(params, consts, cfg: AlignerConfig) -> jnp.ndarray:
+    """(N, P, 3) optimized global points: unproject + pose transform."""
+    depth = jnp.exp(params["log_depth"])                  # (N, P)
+    n = depth.shape[0]
+    f = _focals(params, cfg, n)[:, None, None]
+    rel = jnp.concatenate(
+        [
+            depth[..., None] * (consts["grid"][None] - consts["pp"][:, None]) / f,
+            depth[..., None],
+        ],
+        axis=-1,
+    )
+    poses = params_to_pose(params["poses"])
+    return (
+        jnp.einsum("nij,npj->npi", poses[:, :3, :3], rel) + poses[:, None, :3, 3]
+    )
+
+
+def _alignment_loss(
+    params,
+    consts,
+    cfg: AlignerConfig,
+    use_depth_traj: bool,
+    has_depth: bool,
+    has_traj: bool,
+    has_flow: bool = False,
+    iter_frac=0.0,
+):
+    """The full group-alignment objective (optimizer_group.py:440-525).
+
+    `consts` carries every buffer as an argument — nothing is baked into
+    the jaxpr, so one compile serves every same-shaped sequence.
+    """
+    G, S, P, _ = consts["pred_pts"].shape
+    total_area = consts["total_area"]
+
+    proj = _pts3d_world(params, consts, cfg)               # (N, P, 3)
+    pw_RT = params_to_pose(params["pw_poses"][:, :7])
+    s = _pw_scale(params, cfg, consts["group_valid"])
+    pw = pw_RT.at[:, :3].multiply(s[:, None, None])        # sim3 (G, 4, 4)
+    pred = consts["pred_pts"]                              # (G, S, P, 3)
+    aligned = (
+        jnp.einsum("gij,gspj->gspi", pw[:, :3, :3], pred) + pw[:, None, None, :3, 3]
+    )
+    w = consts["weights"]
+    if cfg.conf_optimize:
+        w = jnp.minimum(w, cfg.conf_clamp)
+    proj_e = proj[consts["e_all"]].reshape(G, S, P, 3)
+    li = jnp.sum(_safe_norm(proj_e - aligned) * w) / total_area
+
+    depth_loss = 0.0
+    traj_loss = 0.0
+    if use_depth_traj and has_depth:
+        depth = jnp.exp(params["log_depth"])
+        inv_pred = 1.0 / (depth + 1e-6)
+        inv_pred_e = inv_pred[consts["e_all"]].reshape(G, S, P)
+        dmask = (consts["invdepth"] > cfg.invdepth_valid_thr).astype(jnp.float32)
+        dmask = dmask * consts["valid_depth_group"][:, None, None]
+        scaled = (
+            consts["invdepth"] * params["s_depth"][:, None, None]
+            + params["t_depth"][:, None, None]
+        )
+        depth_loss = (
+            jnp.sum(jnp.abs(inv_pred_e - scaled) * dmask) / total_area
+        ) * cfg.depth_loss_weight
+
+    if use_depth_traj and has_traj:
+        scale = jnp.exp(params["traj_align"][:, 7])        # (G,)
+        RT = params_to_pose(params["traj_align"][:, :7])   # (G, 4, 4)
+        traj = consts["trajs"]                             # (G, S, 4, 4)
+        traj = traj.at[:, :, :3, 3].multiply(scale[:, None, None])
+        moved = jnp.einsum("gij,gsjk->gsik", RT, traj)
+        poses_e = params_to_pose(params["poses"])[consts["e_all"]].reshape(
+            G, S, 4, 4
+        )
+        per = _rel_pose_loss(
+            moved.reshape(-1, 4, 4),
+            poses_e.reshape(-1, 4, 4),
+            cfg.translation_weight,
+        ).reshape(G, S)
+        traj_loss = (
+            jnp.sum(per * consts["valid_traj_group"][:, None]) * cfg.traj_loss_weight
+        )
+
+    smooth = 0.0
+    if cfg.temporal_smoothing_weight > 0:
+        poses = params_to_pose(params["poses"])
+        pair_w = consts["frame_valid"][:-1] * consts["frame_valid"][1:]
+        smooth = cfg.temporal_smoothing_weight * jnp.sum(
+            _rel_pose_loss(poses[:-1], poses[1:], cfg.translation_weight) * pair_w
+        )
+
+    flow_term = 0.0
+    if has_flow and cfg.flow_loss_weight > 0:
+        from geo4d_tpu.geometry.warp import depth_based_flow
+
+        tgt = consts["target_flows"]                       # (N-1, H, W, 2)
+        fmask = consts["flow_masks"]                       # (N-1, H, W)
+        n1, hh, ww, _ = tgt.shape
+        depth_hw = jnp.exp(params["log_depth"]).reshape(n1 + 1, hh, ww)
+        poses = params_to_pose(params["poses"])
+        f = _focals(params, cfg, n1 + 1)[0]
+        K = jnp.asarray(
+            [[1.0, 0.0, ww / 2.0], [0.0, 1.0, hh / 2.0], [0.0, 0.0, 1.0]]
+        )
+        K = K.at[0, 0].set(f).at[1, 1].set(f)
+
+        def pair(d, p_src, p_dst, t, m):
+            fl, valid = depth_based_flow(d, p_src, p_dst, K)
+            err = fl - t
+            e = (
+                jnp.sum(jnp.abs(err), axis=-1)
+                if cfg.flow_loss_fn == "l1"
+                else jnp.sum(err**2, axis=-1)
+            )
+            wgt = m * valid
+            return jnp.sum(e * wgt), jnp.sum(wgt)
+
+        pair_w = consts["frame_valid"][:-1] * consts["frame_valid"][1:]
+        num, den = jax.vmap(pair)(
+            depth_hw[:-1], poses[:-1], poses[1:], tgt, fmask
+        )
+        flow_val = jnp.sum(num * pair_w) / (jnp.sum(den * pair_w) + 1e-8)
+        gate = jnp.asarray(
+            iter_frac >= cfg.flow_loss_start_frac, jnp.float32
+        )
+        flow_term = cfg.flow_loss_weight * gate * flow_val
+
+    reg_term = 0.0
+    if cfg.depth_regularize_weight > 0 and "log_depth_init" in consts:
+        # scale-invariant log-depth pull to the init depth
+        # (goem_opt.py:15-36 depth_regularization_si_weighted)
+        ld = params["log_depth"]
+        ld0 = consts["log_depth_init"]
+        scale = jnp.mean(ld0 - ld, axis=-1, keepdims=True)
+        per_frame = jnp.mean((ld - ld0 + scale) ** 2, axis=-1)
+        reg_term = cfg.depth_regularize_weight * jnp.sum(
+            per_frame * consts["frame_valid"]
+        ) / jnp.maximum(jnp.sum(consts["frame_valid"]), 1.0)
+
+    return li + depth_loss + traj_loss + smooth + flow_term + reg_term
+
+
+def _lr_at(step: jnp.ndarray, cfg: AlignerConfig) -> jnp.ndarray:
+    t = step / cfg.n_iter
+    if cfg.schedule == "cosine":
+        return cfg.lr_min + (cfg.lr - cfg.lr_min) * 0.5 * (1 + jnp.cos(jnp.pi * t))
+    return cfg.lr + (cfg.lr_min - cfg.lr) * t  # linear
+
+
+def _make_opt():
+    return optax.chain(optax.scale_by_adam(b1=0.9, b2=0.9), optax.scale(-1.0))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "use_depth_traj", "has_depth", "has_traj", "has_flow"),
+)
+def _run_phase(
+    params,
+    opt_state,
+    iters,
+    consts,
+    grad_mask,
+    *,
+    cfg: AlignerConfig,
+    use_depth_traj: bool,
+    has_depth: bool,
+    has_traj: bool,
+    has_flow: bool = False,
+):
+    """One optimization phase as a single `lax.scan` of Adam steps.
+
+    Module-level and argument-driven: re-invocations with same-shaped
+    buffers hit jax.jit's cache (the reference recompiles nothing because
+    it runs eagerly — here compile reuse is what makes a 14-sequence eval
+    pay tracing once, not 14x)."""
+    opt = _make_opt()
+
+    def step_fn(carry, it):
+        params, opt_state = carry
+        val, g = jax.value_and_grad(
+            lambda p: _alignment_loss(
+                p, consts, cfg, use_depth_traj, has_depth, has_traj,
+                has_flow=has_flow, iter_frac=it / cfg.n_iter,
+            )
+        )(params)
+        g = jax.tree_util.tree_map(lambda gi, mi: gi * mi, g, grad_mask)
+        updates, opt_state = opt.update(g, opt_state)
+        lr = _lr_at(it, cfg)
+        params = jax.tree_util.tree_map(lambda p, u: p + lr * u, params, updates)
+        return (params, opt_state), val
+
+    (params, opt_state), losses = jax.lax.scan(step_fn, (params, opt_state), iters)
+    return params, opt_state, losses
 
 
 class GroupAligner:
@@ -83,6 +338,11 @@ class GroupAligner:
       invdepth (G, S, P)     diffusion inverse depth in [0, 1]
       trajs    (G, S, 4, 4)  diffusion cameras (from Plücker maps)
       groups   (G, S) int    frame index of each window slot
+
+    Internally G/N are padded up to cfg.bucket_groups/bucket_frames
+    multiples (padded windows carry zero weight; padded frames only exist
+    as untouched parameters) — the public surface (`.G`, `.N`, getters,
+    presets) speaks REAL indices only.
     """
 
     def __init__(
@@ -94,6 +354,8 @@ class GroupAligner:
         invdepth: Optional[np.ndarray] = None,
         trajs: Optional[np.ndarray] = None,
         config: AlignerConfig = AlignerConfig(),
+        target_flows: Optional[np.ndarray] = None,   # (N-1, H, W, 2)
+        flow_masks: Optional[np.ndarray] = None,     # (N-1, H, W)
     ):
         self.cfg = config
         self.groups = np.asarray(groups, np.int32)
@@ -102,24 +364,63 @@ class GroupAligner:
         self.P = self.H * self.W
         self.N = int(self.groups.max()) + 1
 
+        # padded (bucketed) dims
+        self.Gp = _round_up(self.G, config.bucket_groups)
+        self.Np = _round_up(self.N, config.bucket_frames)
+
+        def pad_g(a, fill=0.0):
+            a = np.asarray(a, np.float32)
+            if self.Gp == self.G:
+                return a
+            pad = np.full((self.Gp - self.G,) + a.shape[1:], fill, np.float32)
+            return np.concatenate([a, pad], axis=0)
+
+        # padded windows index a padded frame so their (zero-weight) terms
+        # never touch real frames
+        groups_pad = np.full((self.Gp, self.S), self.Np - 1, np.int32)
+        groups_pad[: self.G] = self.groups
+
         self.buf = {
-            "pred_pts": jnp.asarray(pred_pts, jnp.float32).reshape(self.G, self.S, self.P, 3),
-            "weights": jnp.asarray(weights, jnp.float32).reshape(self.G, self.S, self.P),
-            "e_all": jnp.asarray(self.groups.reshape(-1)),
+            "pred_pts": jnp.asarray(
+                pad_g(np.asarray(pred_pts).reshape(self.G, self.S, self.P, 3))
+            ),
+            "weights": jnp.asarray(
+                pad_g(np.asarray(weights).reshape(self.G, self.S, self.P))
+            ),
+            "e_all": jnp.asarray(groups_pad.reshape(-1)),
         }
         self.has_depth = invdepth is not None
         self.has_traj = trajs is not None
         if self.has_depth:
-            self.buf["invdepth"] = jnp.asarray(invdepth, jnp.float32).reshape(
-                self.G, self.S, self.P
+            self.buf["invdepth"] = jnp.asarray(
+                pad_g(np.asarray(invdepth).reshape(self.G, self.S, self.P))
             )
         if self.has_traj:
-            self.buf["trajs"] = jnp.asarray(trajs, jnp.float32).reshape(
-                self.G, self.S, 4, 4
-            )
+            eye = np.tile(np.eye(4, dtype=np.float32), (1, self.S, 1, 1))
+            t_pad = np.asarray(trajs, np.float32).reshape(self.G, self.S, 4, 4)
+            if self.Gp > self.G:
+                t_pad = np.concatenate(
+                    [t_pad, np.repeat(eye, self.Gp - self.G, axis=0)], axis=0
+                )
+            self.buf["trajs"] = jnp.asarray(t_pad)
+
+        self.has_flow = (
+            target_flows is not None and config.flow_loss_weight > 0
+        )
+        if self.has_flow:
+            tf = np.zeros((self.Np - 1, self.H, self.W, 2), np.float32)
+            fm = np.zeros((self.Np - 1, self.H, self.W), np.float32)
+            tf[: self.N - 1] = np.asarray(target_flows, np.float32)
+            if flow_masks is not None:
+                fm[: self.N - 1] = np.asarray(flow_masks, np.float32)
+            else:
+                fm[: self.N - 1] = 1.0
+            self.buf["target_flows"] = jnp.asarray(tf)
+            self.buf["flow_masks"] = jnp.asarray(fm)
+
         # per-frame max confidence across windows (base_opt_group.py:236-242)
         im_conf = np.zeros((self.N, self.P), np.float32)
-        wnp = np.asarray(self.buf["weights"])
+        wnp = np.asarray(weights, np.float32).reshape(self.G, self.S, self.P)
         for g in range(self.G):
             for s in range(self.S):
                 im_conf[self.groups[g, s]] = np.maximum(
@@ -133,41 +434,60 @@ class GroupAligner:
             np.stack([x, y], -1).reshape(self.P, 2).astype(np.float32)
         )
         self.pp = jnp.asarray(
-            np.tile([[self.W / 2, self.H / 2]], (self.N, 1)).astype(np.float32)
+            np.tile([[self.W / 2, self.H / 2]], (self.Np, 1)).astype(np.float32)
         )
+        # loss normalizer uses REAL area (padding must not dilute the loss)
         self.total_area = float(self.G * self.S * self.P)
+        self.group_valid = jnp.asarray(
+            (np.arange(self.Gp) < self.G).astype(np.float32)
+        )
+        self.frame_valid = jnp.asarray(
+            (np.arange(self.Np) < self.N).astype(np.float32)
+        )
 
-        n_f = 1 if config.shared_focal else self.N
+        n_f = 1 if config.shared_focal else self.Np
         self.params = {
             "log_depth": jnp.asarray(
-                np.random.default_rng(0).normal(size=(self.N, self.P)) / 10 - 3,
+                np.random.default_rng(0).normal(size=(self.Np, self.P)) / 10 - 3,
                 jnp.float32,
             ),
-            "poses": jnp.tile(jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32), (self.N, 1)),
+            "poses": jnp.tile(
+                jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32), (self.Np, 1)
+            ),
             "pw_poses": jnp.tile(
-                jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0], jnp.float32), (self.G, 1)
+                jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0], jnp.float32), (self.Gp, 1)
             ),
             "traj_align": jnp.tile(
-                jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0], jnp.float32), (self.G, 1)
+                jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0], jnp.float32), (self.Gp, 1)
             ),
             "focal": jnp.full(
                 (n_f,), config.focal_break * np.log(max(self.H, self.W)), jnp.float32
             ),
-            "s_depth": jnp.ones((self.G,), jnp.float32),
-            "t_depth": jnp.zeros((self.G,), jnp.float32),
+            "s_depth": jnp.ones((self.Gp,), jnp.float32),
+            "t_depth": jnp.zeros((self.Gp,), jnp.float32),
         }
         self.focal_frozen = False
         # phase-2 group validity gates (filled by calibration)
-        self.valid_depth_group = jnp.ones((self.G,), jnp.float32)
-        self.valid_traj_group = jnp.zeros((self.G,), jnp.float32)
+        self.valid_depth_group = jnp.asarray(self.group_valid)
+        self.valid_traj_group = jnp.zeros((self.Gp,), jnp.float32)
 
     # ---------------- derived quantities ----------------
 
-    def _focals(self, params) -> jnp.ndarray:
-        f = jnp.exp(params["focal"] / self.cfg.focal_break)
-        if self.cfg.shared_focal:
-            f = jnp.broadcast_to(f, (self.N,))
-        return f
+    def _consts(self) -> Dict[str, jnp.ndarray]:
+        c = dict(self.buf)
+        c["grid"] = self.grid
+        c["pp"] = self.pp
+        c["total_area"] = jnp.asarray(self.total_area, jnp.float32)
+        c["group_valid"] = self.group_valid
+        c["frame_valid"] = self.frame_valid
+        c["valid_depth_group"] = self.valid_depth_group * self.group_valid
+        c["valid_traj_group"] = self.valid_traj_group * self.group_valid
+        if getattr(self, "_log_depth_init", None) is not None:
+            c["log_depth_init"] = self._log_depth_init
+        return c
+
+    def _focals_arr(self, params) -> jnp.ndarray:
+        return _focals(params, self.cfg, self.Np)
 
     def _depth(self, params) -> jnp.ndarray:
         return jnp.exp(params["log_depth"])
@@ -176,118 +496,21 @@ class GroupAligner:
         return params_to_pose(params["poses"])
 
     def _pw_scale(self, params) -> jnp.ndarray:
-        logs = params["pw_poses"][:, 7]
-        norm = jnp.exp(jnp.log(self.cfg.base_scale) - jnp.mean(logs))
-        return jnp.exp(logs) * norm
-
-    def _pw_sim3(self, params) -> jnp.ndarray:
-        """Per-window sim3 as 4x4 with rows [:3] scaled (base_opt_group:316-320)."""
-        RT = params_to_pose(params["pw_poses"][:, :7])
-        s = self._pw_scale(params)
-        return RT.at[:, :3].multiply(s[:, None, None])
+        return _pw_scale(params, self.cfg, self.group_valid)
 
     def _pts3d_world(self, params) -> jnp.ndarray:
-        """(N, P, 3) optimized global points: unproject + pose transform."""
-        depth = self._depth(params)                       # (N, P)
-        f = self._focals(params)[:, None, None]
-        rel = jnp.concatenate(
-            [
-                depth[..., None] * (self.grid[None] - self.pp[:, None]) / f,
-                depth[..., None],
-            ],
-            axis=-1,
+        return _pts3d_world(params, self._consts(), self.cfg)
+
+    # ---------------- loss (public: used by init's probe + tests) ----------
+
+    def loss_fn(self, params, use_depth_traj: bool, iter_frac: float = 1.0):
+        return _alignment_loss(
+            params, self._consts(), self.cfg, use_depth_traj,
+            self.has_depth, self.has_traj,
+            has_flow=self.has_flow, iter_frac=iter_frac,
         )
-        poses = self._im_poses(params)
-        return (
-            jnp.einsum("nij,npj->npi", poses[:, :3, :3], rel) + poses[:, None, :3, 3]
-        )
-
-    @staticmethod
-    def _safe_norm(x, axis=-1):
-        """L2 norm with a finite gradient at 0 (jnp.linalg.norm's gradient
-        is NaN at exactly 0 — hit by identical adjacent poses / perfectly
-        matched points)."""
-        return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-12)
-
-    @classmethod
-    def _rel_pose_loss(cls, RT1, RT2, translation_weight):
-        """Frobenius(R_rel - I) + w*|t_rel| (optimizer_group.py:529-542)."""
-        rel = jnp.einsum("nij,njk->nik", inv_se3(RT1), RT2)
-        rot = jnp.sqrt(
-            jnp.sum((rel[:, :3, :3] - jnp.eye(3)) ** 2, axis=(-2, -1)) + 1e-12
-        )
-        trans = cls._safe_norm(rel[:, :3, 3])
-        return rot + translation_weight * trans
-
-    # ---------------- loss ----------------
-
-    def loss_fn(self, params, use_depth_traj: bool):
-        cfg = self.cfg
-        proj = self._pts3d_world(params)                       # (N, P, 3)
-        pw = self._pw_sim3(params)                             # (G, 4, 4)
-        pred = self.buf["pred_pts"]                            # (G, S, P, 3)
-        aligned = (
-            jnp.einsum("gij,gspj->gspi", pw[:, :3, :3], pred) + pw[:, None, None, :3, 3]
-        )
-        w = self.buf["weights"]
-        if cfg.conf_optimize:
-            w = jnp.minimum(w, cfg.conf_clamp)
-        proj_e = proj[self.buf["e_all"]].reshape(self.G, self.S, self.P, 3)
-        li = (
-            jnp.sum(self._safe_norm(proj_e - aligned) * w) / self.total_area
-        )
-
-        depth_loss = 0.0
-        traj_loss = 0.0
-        if use_depth_traj and self.has_depth:
-            depth = self._depth(params)
-            inv_pred = 1.0 / (depth + 1e-6)
-            inv_pred_e = inv_pred[self.buf["e_all"]].reshape(self.G, self.S, self.P)
-            dmask = (self.buf["invdepth"] > cfg.invdepth_valid_thr).astype(jnp.float32)
-            dmask = dmask * self.valid_depth_group[:, None, None]
-            scaled = (
-                self.buf["invdepth"] * params["s_depth"][:, None, None]
-                + params["t_depth"][:, None, None]
-            )
-            depth_loss = (
-                jnp.sum(jnp.abs(inv_pred_e - scaled) * dmask) / self.total_area
-            ) * cfg.depth_loss_weight
-
-        if use_depth_traj and self.has_traj:
-            scale = jnp.exp(params["traj_align"][:, 7])        # (G,)
-            RT = params_to_pose(params["traj_align"][:, :7])   # (G, 4, 4)
-            traj = self.buf["trajs"]                           # (G, S, 4, 4)
-            traj = traj.at[:, :, :3, 3].multiply(scale[:, None, None])
-            moved = jnp.einsum("gij,gsjk->gsik", RT, traj)
-            poses_e = self._im_poses(params)[self.buf["e_all"]].reshape(
-                self.G, self.S, 4, 4
-            )
-            per = self._rel_pose_loss(
-                moved.reshape(-1, 4, 4),
-                poses_e.reshape(-1, 4, 4),
-                cfg.translation_weight,
-            ).reshape(self.G, self.S)
-            traj_loss = (
-                jnp.sum(per * self.valid_traj_group[:, None]) * cfg.traj_loss_weight
-            )
-
-        smooth = 0.0
-        if cfg.temporal_smoothing_weight > 0:
-            poses = self._im_poses(params)
-            smooth = cfg.temporal_smoothing_weight * jnp.sum(
-                self._rel_pose_loss(poses[:-1], poses[1:], cfg.translation_weight)
-            )
-
-        return li + depth_loss + traj_loss + smooth
 
     # ---------------- optimization ----------------
-
-    def _lr_at(self, step: jnp.ndarray) -> jnp.ndarray:
-        cfg = self.cfg
-        t = step / cfg.n_iter
-        if cfg.schedule == "cosine":
-            return cfg.lr_min + (cfg.lr - cfg.lr_min) * 0.5 * (1 + jnp.cos(jnp.pi * t))
-        return cfg.lr + (cfg.lr_min - cfg.lr) * t  # linear
 
     def _grad_mask(self) -> Dict[str, jnp.ndarray]:
         """Per-leaf trainability (focal freezing, s/t fixed between calibs)."""
@@ -304,37 +527,17 @@ class GroupAligner:
         [start, n_iter) with disparity + trajectory anchoring."""
         cfg = self.cfg
         start = min(cfg.depth_traj_start_iter, cfg.n_iter)
-        opt = optax.chain(
-            optax.scale_by_adam(b1=0.9, b2=0.9),
-            optax.scale(-1.0),
-        )
-        opt_state = opt.init(self.params)
+        opt_state = _make_opt().init(self.params)
         mask = self._grad_mask()
+        if cfg.depth_regularize_weight > 0:
+            # snapshot the (post-init) depth as the si-regularization anchor
+            self._log_depth_init = jnp.asarray(self.params["log_depth"])
 
-        def make_phase(use_depth_traj: bool):
-            loss = lambda p: self.loss_fn(p, use_depth_traj)
-            grad_fn = jax.value_and_grad(loss)
-
-            def step_fn(carry, it):
-                params, opt_state = carry
-                val, g = grad_fn(params)
-                g = jax.tree_util.tree_map(lambda gi, mi: gi * mi, g, mask)
-                updates, opt_state = opt.update(g, opt_state)
-                lr = self._lr_at(it)
-                params = jax.tree_util.tree_map(
-                    lambda p, u: p + lr * u, params, updates
-                )
-                return (params, opt_state), val
-
-            return jax.jit(
-                lambda params, opt_state, iters: jax.lax.scan(
-                    step_fn, (params, opt_state), iters
-                )
-            )
-
-        phase1 = make_phase(False)
-        (self.params, opt_state), losses1 = phase1(
-            self.params, opt_state, jnp.arange(start, dtype=jnp.float32)
+        kw = dict(cfg=cfg, has_depth=self.has_depth, has_traj=self.has_traj,
+                  has_flow=self.has_flow)
+        self.params, opt_state, losses1 = _run_phase(
+            self.params, opt_state, jnp.arange(start, dtype=jnp.float32),
+            self._consts(), mask, use_depth_traj=False, **kw,
         )
 
         if self.has_depth or self.has_traj:
@@ -343,10 +546,10 @@ class GroupAligner:
             print(f"[aligner] phase1 loss {float(losses1[-1]):.5f}")
 
         if cfg.n_iter > start:
-            phase2 = make_phase(True)
-            (self.params, opt_state), losses2 = phase2(
+            self.params, opt_state, losses2 = _run_phase(
                 self.params, opt_state,
                 jnp.arange(start, cfg.n_iter, dtype=jnp.float32),
+                self._consts(), mask, use_depth_traj=True, **kw,
             )
             final = float(losses2[-1])
         else:
@@ -359,50 +562,73 @@ class GroupAligner:
 
     def calibrate(self):
         """Per-group disparity (s,t) via batched lad2 + trajectory origin
-        alignment with validity gating (_set_st_depth/_set_traj parity)."""
+        alignment with validity gating (_set_st_depth/_set_traj parity).
+
+        The reference sweeps lrs {1e-2, 1e-4, 1e-3} per group sequentially
+        (optimizer_group.py:345-366); here each lr runs as ONE lad2 batch
+        over all G groups (3 launches total instead of 3·G·3000 steps)."""
         cfg = self.cfg
         if self.has_depth:
+            G = self.G
             depth = np.asarray(self._depth(self.params))
             inv_opt = 1.0 / (depth + 1e-6)
-            inv_opt_g = inv_opt[self.groups.reshape(-1)].reshape(self.G, -1)
-            pred_g = np.asarray(self.buf["invdepth"]).reshape(self.G, -1)
-            w_g = np.asarray(self.buf["weights"]).reshape(self.G, -1)
+            inv_opt_g = inv_opt[self.groups.reshape(-1)].reshape(G, -1)
+            pred_g = np.asarray(self.buf["invdepth"])[:G].reshape(G, -1)
+            w_g = np.asarray(self.buf["weights"])[:G].reshape(G, -1)
             mask = (w_g > cfg.weight_valid_thr) & (pred_g > cfg.invdepth_valid_thr)
 
-            s_list, t_list, valid = [], [], []
-            for g in range(self.G):
-                best = None
-                for lr in (1e-2, 1e-4, 1e-3):
-                    s, t = lad2_align(
-                        jnp.asarray(pred_g[g]), jnp.asarray(inv_opt_g[g]),
-                        jnp.asarray(mask[g]), lr=lr, max_iters=3000,
+            pred_j = jnp.asarray(pred_g)
+            gt_j = jnp.asarray(inv_opt_g)
+            mask_j = jnp.asarray(mask)
+            lrs = (1e-2, 1e-4, 1e-3)
+            st = np.stack(
+                [
+                    np.stack(
+                        [np.asarray(v) for v in lad2_align_batched(
+                            pred_j, gt_j, mask_j, lr, 3000
+                        )],
+                        axis=-1,
                     )
-                    s, t = float(s), float(t)
-                    al = pred_g[g] * s + t
-                    m = mask[g]
-                    ratio = np.maximum(
-                        np.clip(al[m], 1e-8, None) / np.clip(inv_opt_g[g][m], 1e-8, None),
-                        np.clip(inv_opt_g[g][m], 1e-8, None) / np.clip(al[m], 1e-8, None),
-                    )
-                    delta = float(np.mean(ratio < 1.25)) if m.any() else 0.0
-                    if best is None or delta > best[0]:
-                        best = (delta, s, t)
-                    if best[0] >= 0.8:
+                    for lr in lrs
+                ]
+            )  # (L, G, 2)
+
+            # δ<1.25 quality per (lr, group) — vectorized on host
+            al = st[:, :, 0:1] * pred_g[None] + st[:, :, 1:2]     # (L, G, Pm)
+            a = np.clip(al, 1e-8, None)
+            b = np.clip(inv_opt_g[None], 1e-8, None)
+            ratio = np.maximum(a / b, b / a)
+            hit = (ratio < 1.25) & mask[None]
+            denom = np.maximum(mask.sum(axis=-1), 1)[None]
+            delta = hit.sum(axis=-1) / denom                      # (L, G)
+
+            # reference early-break semantics: lrs are tried in order and
+            # the sweep stops after the first δ >= 0.8; best is the strict
+            # argmax over the prefix (optimizer_group.py:357-366)
+            s_out = np.empty(G, np.float32)
+            t_out = np.empty(G, np.float32)
+            valid = np.zeros(G, np.float32)
+            for g in range(G):
+                stop = len(lrs)
+                for i in range(len(lrs)):
+                    if delta[i, g] >= 0.8:
+                        stop = i + 1
                         break
-                delta, s, t = best
-                s_list.append(s)
-                t_list.append(t)
-                valid.append(1.0 if delta >= cfg.delta_valid_thr else 0.0)
-            self.params["s_depth"] = jnp.asarray(s_list, jnp.float32)
-            self.params["t_depth"] = jnp.asarray(t_list, jnp.float32)
-            self.valid_depth_group = jnp.asarray(valid, jnp.float32)
+                i_best = int(np.argmax(delta[:stop, g]))
+                s_out[g], t_out[g] = st[i_best, g]
+                valid[g] = 1.0 if delta[i_best, g] >= cfg.delta_valid_thr else 0.0
+
+            self.params["s_depth"] = jnp.asarray(np.pad(s_out, (0, self.Gp - G),
+                                                        constant_values=1.0))
+            self.params["t_depth"] = jnp.asarray(np.pad(t_out, (0, self.Gp - G)))
+            self.valid_depth_group = jnp.asarray(np.pad(valid, (0, self.Gp - G)))
 
         if self.has_traj:
             im_poses = np.asarray(self._im_poses(self.params))
             pw_scale = np.asarray(self._pw_scale(self.params))
             trajs = np.asarray(self.buf["trajs"])
             ta = np.asarray(self.params["traj_align"]).copy()
-            valid = np.zeros((self.G,), np.float32)
+            valid = np.zeros((self.Gp,), np.float32)
             for g in range(self.G):
                 traj = trajs[g].copy()
                 traj[:, :3, 3] *= pw_scale[g]
@@ -451,10 +677,47 @@ class GroupAligner:
             jnp.asarray(d)
         )
 
+    # ---- batched preset writes (ONE device put each; the init chain is
+    # host-side and per-frame `.at[].set()` writes cost a device round
+    # trip apiece — ~N x tunnel latency on a remote TPU) ----
+
+    def set_poses_all(self, c2w: np.ndarray):
+        """Write all N frame poses at once. c2w: (N, 4, 4)."""
+        p7 = np.asarray(
+            pose_to_params(jnp.asarray(np.asarray(c2w, np.float32)))
+        )
+        full = np.asarray(self.params["poses"]).copy()
+        full[: self.N] = p7
+        self.params["poses"] = jnp.asarray(full)
+
+    def set_pw_poses_all(self, s: np.ndarray, R: np.ndarray, t: np.ndarray):
+        """Write all G window sim3s at once. s: (G,), R: (G,3,3), t: (G,3)."""
+        G = self.G
+        T = np.tile(np.eye(4, dtype=np.float32), (G, 1, 1))
+        T[:, :3, :3] = R
+        T[:, :3, 3] = np.asarray(t).reshape(G, 3)
+        q7 = np.asarray(pose_to_params(jnp.asarray(T)))
+        rows = np.concatenate(
+            [q7, np.log(np.clip(s, 1e-8, None)).astype(np.float32)[:, None]],
+            axis=-1,
+        )
+        full = np.asarray(self.params["pw_poses"]).copy()
+        full[:G] = rows
+        self.params["pw_poses"] = jnp.asarray(full)
+
+    def set_depthmaps_all(self, depths: np.ndarray):
+        """Write all N log-depth maps at once. depths: (N, P) linear depth."""
+        d = np.nan_to_num(np.asarray(depths, np.float32).reshape(self.N, -1),
+                          nan=1.0, posinf=1e4, neginf=1e-6)
+        d = np.log(np.clip(d, 1e-6, 1e6))
+        full = np.asarray(self.params["log_depth"]).copy()
+        full[: self.N] = d
+        self.params["log_depth"] = jnp.asarray(full)
+
     # ---------------- outputs (results-dir contract) ----------------
 
     def get_focals(self) -> np.ndarray:
-        return np.asarray(self._focals(self.params))
+        return np.asarray(self._focals_arr(self.params))[: self.N]
 
     def get_intrinsics(self) -> np.ndarray:
         f = self.get_focals()
@@ -466,13 +729,15 @@ class GroupAligner:
         return K
 
     def get_im_poses(self) -> np.ndarray:
-        return np.asarray(self._im_poses(self.params))
+        return np.asarray(self._im_poses(self.params))[: self.N]
 
     def get_depthmaps(self) -> np.ndarray:
-        return np.asarray(self._depth(self.params)).reshape(self.N, self.H, self.W)
+        return np.asarray(self._depth(self.params))[: self.N].reshape(
+            self.N, self.H, self.W
+        )
 
     def get_pts3d(self) -> np.ndarray:
-        return np.asarray(self._pts3d_world(self.params)).reshape(
+        return np.asarray(self._pts3d_world(self.params))[: self.N].reshape(
             self.N, self.H, self.W, 3
         )
 
@@ -487,3 +752,20 @@ class GroupAligner:
 
     def get_tum_poses(self) -> np.ndarray:
         return Trajectory.from_matrices(self.get_im_poses()).to_tum()
+
+    def apply_cleanup(self, tol: float = 0.001, bad_conf: float = 0.0):
+        """Cross-view consistency filter (base_opt_group.py:630-666):
+        floaters that occlude better-supported geometry get their
+        confidence clipped, affecting get_conf/get_masks/exports."""
+        from geo4d_tpu.alignment.cleanup import clean_pointcloud
+
+        K = jnp.asarray(self.get_intrinsics())
+        w2c = inv_se3(jnp.asarray(self.get_im_poses()))
+        filtered = clean_pointcloud(
+            jnp.asarray(self.get_conf()), K, w2c,
+            jnp.asarray(self.get_depthmaps()),
+            jnp.asarray(self.get_pts3d()),
+            tol=tol, bad_conf=bad_conf,
+        )
+        self.im_conf = np.asarray(filtered).reshape(self.N, self.P)
+        return self.im_conf

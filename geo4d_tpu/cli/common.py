@@ -35,6 +35,19 @@ def build_model_and_params(
     given (infer_geo4d.py:53-80 + :330-347 loading semantics), else random."""
     import jax
 
+    from geo4d_tpu.models.presets import flagship, init_params
+
+    model = flagship()
+    params = init_params(model, jax.random.PRNGKey(seed), image_size)
+    model, params = _load_checkpoints_into(
+        model, params, ckpt_path, vae_ckpt_path, verbose
+    )
+    return model, params
+
+
+def _load_checkpoints_into(model, params, ckpt_path, vae_ckpt_path, verbose):
+    """Fill a params pytree from the published torch checkpoints
+    (infer_geo4d.py:53-80 + :330-347 loading semantics)."""
     from geo4d_tpu.models.convert import (
         clip_text_torch_key,
         clip_vision_torch_key,
@@ -44,10 +57,6 @@ def build_model_and_params(
         unet_torch_key,
         vae_torch_key,
     )
-    from geo4d_tpu.models.presets import flagship, init_params
-
-    model = flagship()
-    params = init_params(model, jax.random.PRNGKey(seed), image_size)
 
     if ckpt_path and os.path.exists(ckpt_path):
         sd = strip_prefixes(load_torch_checkpoint(ckpt_path))
@@ -79,6 +88,54 @@ def build_model_and_params(
             print(f"[ckpt] pointmap_vae: {used and len(used)} loaded, "
                   f"{len(missing)} missing")
     return model, params
+
+
+def build_model_from_config(config_path: str, ckpt_path=None, vae_ckpt_path=None,
+                            image_size=(256, 576), seed: int = 123,
+                            verbose: bool = True):
+    """Reference-layout YAML -> (model, params, postprocess dict).
+
+    An unmodified reference configs/inference_geo4d.yaml drives the whole
+    build (test_geo4d.py:316-321 semantics): model tree via the registry,
+    postprocess block returned for AlignerConfig mapping.
+    """
+    import jax
+
+    from geo4d_tpu.core.registry import build_from_yaml
+    from geo4d_tpu.models.presets import init_params
+
+    model, postprocess = build_from_yaml(config_path)
+    params = init_params(model, jax.random.PRNGKey(seed), image_size)
+    model2, params = _load_checkpoints_into(
+        model, params, ckpt_path, vae_ckpt_path, verbose
+    )
+    return model, params, postprocess
+
+
+def aligner_config_from_postprocess(pp: dict, n_iter: Optional[int] = None):
+    """Map the reference postprocess block (configs/inference_geo4d.yaml:
+    169-186) onto AlignerConfig. Unknown keys are ignored; flow/motion
+    knobs are live (beyond the reference, whose group optimizer stores but
+    never applies them — optimizer_group.py:37-52)."""
+    from geo4d_tpu.alignment.optimizer import AlignerConfig
+
+    fn = {"smooth_l1": "l1", "l1": "l1", "l2": "l2"}.get(
+        str(pp.get("flow_loss_fn", "l1")), "l1"
+    )
+    return AlignerConfig(
+        n_iter=int(n_iter if n_iter is not None else pp.get("n_iter", 500)),
+        temporal_smoothing_weight=float(
+            pp.get("temporal_smoothing_weight", 0.015)
+        ),
+        translation_weight=float(pp.get("translation_weight", 1.0)),
+        schedule=str(pp.get("pose_schedule", "linear")),
+        shared_focal=not bool(pp.get("not_shared_focal", False)),
+        flow_loss_weight=float(pp.get("flow_loss_weight", 0.0)),
+        flow_loss_fn=fn,
+        flow_loss_start_frac=float(pp.get("flow_loss_start_epoch", 0.1)),
+        motion_mask_thre=float(pp.get("motion_mask_thre", 0.35)),
+        depth_regularize_weight=float(pp.get("depth_regularize_weight", 0.0)),
+    )
 
 
 def prepare_inference_params(model, params, prompt: str,

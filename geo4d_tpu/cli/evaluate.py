@@ -27,6 +27,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", type=str, required=True,
                    choices=["sintel", "bonn", "kitti", "tum", "scannet", "davis"])
     p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--config", type=str, default=None,
+                   help="reference-layout YAML; drives model + postprocess")
+    p.add_argument("--clean_pointcloud", action="store_true")
     p.add_argument("--savedir", type=str, default="eval_results")
     p.add_argument("--ckpt_path", type=str, default=None)
     p.add_argument("--vae_path", type=str, default=None)
@@ -80,9 +83,17 @@ def main(argv=None):
     from geo4d_tpu.pipeline.inference import InferenceConfig, reconstruct
 
     w, h = DATASET_RESOLUTION[args.dataset]
-    model, params = build_model_and_params(
-        args.ckpt_path, args.vae_path, (h, w), args.seed
-    )
+    postprocess = None
+    if args.config:
+        from geo4d_tpu.cli.common import build_model_from_config
+
+        model, params, postprocess = build_model_from_config(
+            args.config, args.ckpt_path, args.vae_path, (h, w), args.seed
+        )
+    else:
+        model, params = build_model_and_params(
+            args.ckpt_path, args.vae_path, (h, w), args.seed
+        )
     params, text_ctx, uncond_text_ctx = prepare_inference_params(
         model, params, DEFAULT_PROMPT, args.bpe_path
     )
@@ -96,7 +107,12 @@ def main(argv=None):
         window_batch=args.window_batch,
         sky_eps=0.1,  # eval-path mask eps (infer_geo4d.py:479); demo uses 0.35
     )
-    acfg = AlignerConfig(n_iter=args.n_iter)
+    if postprocess is not None:
+        from geo4d_tpu.cli.common import aligner_config_from_postprocess
+
+        acfg = aligner_config_from_postprocess(postprocess, n_iter=args.n_iter)
+    else:
+        acfg = AlignerConfig(n_iter=args.n_iter)
 
     seqs = args.seq_list or list_sequences(args.dataset, args.data_root)
     os.makedirs(args.savedir, exist_ok=True)
@@ -125,6 +141,8 @@ def main(argv=None):
         )
         for k in ("diffusion_s", "alignment_s", "frames"):
             total_time[k] += timing[k]
+        if args.clean_pointcloud:
+            scene.apply_cleanup()
         seq_dir = os.path.join(args.savedir, seq)
         save_results_dir(seq_dir, scene, rgb_frames=sample.frames, save_glb=False)
 

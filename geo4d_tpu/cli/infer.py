@@ -21,6 +21,12 @@ def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="geo4d_tpu video -> 4D inference")
     p.add_argument("--video_path", type=str, required=True)
     p.add_argument("--savedir", type=str, default="results")
+    p.add_argument("--config", type=str, default=None,
+                   help="reference-layout YAML (configs/inference_geo4d.yaml); "
+                        "drives model tree + postprocess knobs")
+    p.add_argument("--clean_pointcloud", action="store_true",
+                   help="cross-view consistency confidence filter "
+                        "(base_opt_group.py:630-666)")
     p.add_argument("--ckpt_path", type=str, default=None)
     p.add_argument("--vae_path", type=str, default=None)
     p.add_argument("--bpe_path", type=str, default=None)
@@ -58,21 +64,32 @@ def main(argv=None):
     args = get_parser().parse_args(argv)
     from geo4d_tpu.alignment.optimizer import AlignerConfig
     from geo4d_tpu.cli.common import build_model_and_params, prepare_inference_params
-    from geo4d_tpu.data.video import load_video
+    from geo4d_tpu.data.video import load_image_dir, load_video
     from geo4d_tpu.pipeline.export import save_results_dir, save_time_cost
     from geo4d_tpu.pipeline.inference import InferenceConfig, reconstruct
 
-    seq = os.path.splitext(os.path.basename(args.video_path))[0]
+    seq = os.path.splitext(os.path.basename(args.video_path.rstrip("/")))[0]
     out_dir = os.path.join(args.savedir, seq, seq)
 
-    frames, fps = load_video(
-        args.video_path,
-        frame_stride=args.frame_sampling_stride,
-        video_size=(args.height, args.width),
-        max_frames=args.max_video_frames,
-    )
+    if os.path.isdir(args.video_path):
+        # image-directory input (reference: dust3r/utils/image.py:301
+        # load_images_with_near_aspect_ratio feeds the same pipeline)
+        frames, _names = load_image_dir(
+            args.video_path, (args.width, args.height),
+            max_frames=args.max_video_frames,
+        )
+        frames = frames[:: args.frame_sampling_stride]
+        fps = 24 // args.frame_sampling_stride
+    else:
+        frames, fps = load_video(
+            args.video_path,
+            frame_stride=args.frame_sampling_stride,
+            video_size=(args.height, args.width),
+            max_frames=args.max_video_frames,
+        )
     print(f"[infer] {frames.shape[0]} frames @ {fps} fps, {frames.shape[1:3]}")
 
+    postprocess = None
     if args.tiny:
         import jax
 
@@ -82,6 +99,13 @@ def main(argv=None):
         params = init_params(
             model, jax.random.PRNGKey(args.seed),
             (args.height, args.width), temporal_length=args.video_length,
+        )
+    elif args.config:
+        from geo4d_tpu.cli.common import build_model_from_config
+
+        model, params, postprocess = build_model_from_config(
+            args.config, args.ckpt_path, args.vae_path,
+            (args.height, args.width), args.seed,
         )
     else:
         model, params = build_model_and_params(
@@ -104,12 +128,19 @@ def main(argv=None):
         guidance_rescale=args.guidance_rescale,
         window_batch=args.window_batch,
     )
-    acfg = AlignerConfig(n_iter=args.n_iter)
+    if postprocess is not None:
+        from geo4d_tpu.cli.common import aligner_config_from_postprocess
+
+        acfg = aligner_config_from_postprocess(postprocess, n_iter=args.n_iter)
+    else:
+        acfg = AlignerConfig(n_iter=args.n_iter)
     scene, preds, timing = reconstruct(
         model, params, frames, text_ctx, fps=fps,
         inference_config=icfg, aligner_config=acfg, seed=args.seed, verbose=True,
         uncond_text_ctx=uncond_text_ctx,
     )
+    if args.clean_pointcloud:
+        scene.apply_cleanup()
     save_results_dir(out_dir, scene, rgb_frames=frames)
     save_time_cost(os.path.join(args.savedir, seq, "time_cost.txt"), timing)
     print(f"[infer] results -> {out_dir} "

@@ -47,19 +47,30 @@ def get_parser():
     return p
 
 
-def npz_stream(data_dir: str, batch_size: int, t: int, rng):
-    """Endless shuffled stream of stacked clip batches from .npz shards."""
+def npz_stream(data_dir: str, batch_size: int, t: int,
+               world_size: int = 1, rank: int = 0, start_epoch: int = 0):
+    """Endless stream of stacked clip batches from .npz shards with the
+    reference's epoch-seeded, rank-sharded order (lvdm/data/
+    batched_sampler.py:21-69 via geo4d_tpu.data.sampler.epoch_plan):
+    every process derives the identical global plan from the epoch number
+    alone and takes its batch-aligned slice — deterministic resume, no
+    cross-process coordination."""
     import numpy as np
+
+    from geo4d_tpu.data.sampler import epoch_plan, shard_plan
 
     files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
     if not files:
         raise FileNotFoundError(f"no .npz shards in {data_dir}")
     keys = ["video", "normed_allpts", "plucker_raymap", "plucker_cross",
             "inverse_depth"]
+    epoch = start_epoch
     while True:
-        order = rng.permutation(len(files))
+        plan = epoch_plan(len(files), batch_size, pool_size=1, epoch=epoch,
+                          world_size=world_size)
+        mine = shard_plan(plan, rank, world_size, batch_size)
         batch = {k: [] for k in keys + ["fps"]}
-        for fi in order:
+        for fi, _feat in mine:
             with np.load(files[fi]) as z:
                 for k in keys:
                     batch[k].append(z[k][:t])
@@ -70,6 +81,7 @@ def npz_stream(data_dir: str, batch_size: int, t: int, rng):
                     for k, v in batch.items()
                 }
                 batch = {k: [] for k in keys + ["fps"]}
+        epoch += 1
 
 
 def main(argv=None):
@@ -122,8 +134,10 @@ def main(argv=None):
     logger = MetricLogger(args.out_dir)
     timer = EpochTimer()
     timer.start()
-    rng = np.random.default_rng(args.seed)
-    stream = npz_stream(args.data_dir, args.batch_size, args.video_length, rng)
+    stream = npz_stream(
+        args.data_dir, args.batch_size, args.video_length,
+        world_size=jax.process_count(), rank=jax.process_index(),
+    )
     key = jax.random.PRNGKey(args.seed)
 
     for i in range(args.steps):

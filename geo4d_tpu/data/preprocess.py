@@ -118,6 +118,114 @@ def prepare_kitti(root: str):
             shutil.copy2(f, os.path.join(out, name))
 
 
+def prepare_nyuv2(root: str):
+    """NYUv2 val split: official/*.h5 -> nyu_images/*.png + nyu_depths/*.npy
+    + normalized nyu_depth_imgs/*.png (datasets_preprocess/
+    prepare_nyuv2.py:1-84 semantics)."""
+    import h5py
+    import numpy as np
+    from PIL import Image
+
+    src = os.path.join(root, "official")
+    img_dir = os.path.join(root, "nyu_images")
+    dep_dir = os.path.join(root, "nyu_depths")
+    dimg_dir = os.path.join(root, "nyu_depth_imgs")
+    for d in (img_dir, dep_dir, dimg_dir):
+        os.makedirs(d, exist_ok=True)
+    for path in sorted(glob.glob(os.path.join(src, "*.h5"))):
+        base = os.path.splitext(os.path.basename(path))[0]
+        with h5py.File(path, "r") as h5:
+            depth = np.asarray(h5["depth"])
+            rgb = np.transpose(np.asarray(h5["rgb"]), (1, 2, 0))
+        Image.fromarray(rgb.astype(np.uint8)).save(
+            os.path.join(img_dir, f"{base}.png")
+        )
+        np.save(os.path.join(dep_dir, f"{base}.npy"), depth)
+        lo, hi = depth.min(), depth.max()
+        norm = (depth - lo) / max(hi - lo, 1e-12)
+        Image.fromarray((norm * 255).astype(np.uint8)).save(
+            os.path.join(dimg_dir, f"{base}.png")
+        )
+
+
+def read_flo(path: str):
+    """Middlebury .flo optical-flow reader (sintel_get_dynamics.py:9-24).
+    Returns (H, W, 2) float32."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        tag = np.fromfile(f, np.float32, 1)[0]
+        assert abs(tag - 202021.25) < 1e-3, f"bad .flo tag in {path}"
+        w = int(np.fromfile(f, np.int32, 1)[0])
+        h = int(np.fromfile(f, np.int32, 1)[0])
+        data = np.fromfile(f, np.float32, -1).reshape(h, w * 2)
+    u = data[:, np.arange(w) * 2]
+    v = data[:, np.arange(w) * 2 + 1]
+    return np.stack([u, v], axis=-1)
+
+
+def sintel_get_dynamics(
+    base_dir: str,
+    seq: str,
+    threshold: float = 13.75,
+    continuous: bool = False,
+    save_dir: str = "dynamic_label",
+):
+    """Generate per-frame dynamic-region labels for one Sintel training
+    sequence (datasets_preprocess/sintel_get_dynamics.py:109-170): rigid
+    flow induced by GT depth + camera motion vs GT optical flow; pixels
+    with absolute flow error > threshold (13.75 px) are dynamic. With
+    `continuous`, writes the normalized error map instead."""
+    import numpy as np
+    from PIL import Image
+
+    from geo4d_tpu.data.datasets import read_dpt, read_sintel_cam
+
+    depth_dir = os.path.join(base_dir, "depth", seq)
+    cam_dir = os.path.join(base_dir, "camdata_left", seq)
+    flow_dir = os.path.join(base_dir, "flow", seq)
+    out_dir = os.path.join(base_dir, save_dir, seq)
+    os.makedirs(out_dir, exist_ok=True)
+
+    frames = sorted(f for f in os.listdir(depth_dir) if f.endswith(".dpt"))
+    written = []
+    for i in range(len(frames) - 1):
+        fid1 = frames[i].split(".")[0]
+        fid2 = frames[i + 1].split(".")[0]
+        d1 = read_dpt(os.path.join(depth_dir, frames[i]))
+        K1, E1 = read_sintel_cam(os.path.join(cam_dir, f"{fid1}.cam"))
+        K2, E2 = read_sintel_cam(os.path.join(cam_dir, f"{fid2}.cam"))
+        h, w = d1.shape
+
+        # rigid flow: unproject frame-1 depth, move by the relative pose,
+        # reproject (sintel_get_dynamics.py:60-107). Sintel .cam extrinsics
+        # are world-to-cam; pose = inv(E) is cam-to-world.
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        px = (x - K1[0, 2]) * d1 / K1[0, 0]
+        py = (y - K1[1, 2]) * d1 / K1[1, 1]
+        p1 = np.stack([px, py, d1], axis=-1).reshape(-1, 3)
+        pose1 = np.linalg.inv(np.vstack([E1, [0, 0, 0, 1]]))
+        pose2 = np.linalg.inv(np.vstack([E2, [0, 0, 0, 1]]))
+        rel = np.linalg.inv(pose2) @ pose1
+        p2 = p1 @ rel[:3, :3].T + rel[:3, 3]
+        uv1 = (p1 @ K1.T)
+        uv1 = uv1[:, :2] / uv1[:, 2:]
+        uv2 = (p2 @ K2.T)
+        uv2 = uv2[:, :2] / uv2[:, 2:]
+        rigid_flow = (uv2 - uv1).reshape(h, w, 2)
+
+        gt_flow = read_flo(os.path.join(flow_dir, f"{fid1}.flo"))
+        err = np.linalg.norm(gt_flow - rigid_flow, axis=-1)
+        out_path = os.path.join(out_dir, f"{fid1}.png")
+        if continuous:
+            img = (err / max(err.max(), 1e-12) * 255).astype(np.uint8)
+        else:
+            img = (err > threshold).astype(np.uint8) * 255
+        Image.fromarray(img).save(out_path)
+        written.append(out_path)
+    return written
+
+
 def compute_dynamic_masks(
     flows_fwd, flows_bwd, depths, poses, K, motion_thresh: float = 0.35
 ):

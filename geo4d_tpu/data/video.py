@@ -37,10 +37,24 @@ _native = None
 
 
 def _load_native():
-    """Load the C++ FFmpeg decoder (native/video_decoder.cpp) via ctypes."""
+    """Load the C++ FFmpeg decoder (native/video_decoder.cpp) via ctypes.
+
+    The .so is not checked into git (binaries go stale vs their source);
+    it is built on demand from native/build.sh the first time it's needed.
+    """
     global _native
     if _native is not None:
         return _native
+    if not os.path.exists(_NATIVE_LIB_PATH):
+        build = os.path.join(os.path.dirname(_NATIVE_LIB_PATH), "build.sh")
+        try:
+            import subprocess
+
+            subprocess.run(["bash", build], check=True, capture_output=True,
+                           timeout=120)
+        except Exception:
+            _native = False
+            return False
     if not os.path.exists(_NATIVE_LIB_PATH):
         _native = False
         return False

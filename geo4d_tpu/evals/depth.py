@@ -71,9 +71,12 @@ def lad2_align(
     return st[0], st[1]
 
 
-# batched over a leading group axis — used by the aligner's per-group calib
+# batched over a leading group axis — used by the aligner's per-group
+# calibration: one launch fits (s, t) for ALL windows at a given lr
+# (vs the reference's sequential per-group Adam loops)
 lad2_align_batched = jax.jit(
-    jax.vmap(lad2_align, in_axes=(0, 0, 0)), static_argnames=()
+    jax.vmap(lad2_align, in_axes=(0, 0, 0, None, None)),
+    static_argnames=("max_iters",),
 )
 
 

@@ -81,15 +81,24 @@ def point_map_to_depth(
     points: jnp.ndarray,                       # (..., H, W, 3)
     mask: Optional[jnp.ndarray] = None,        # (..., H, W) bool
     downsample_size: Tuple[int, int] = (64, 64),
+    image_size: Optional[Tuple[int, int]] = None,
 ):
     """Recover depth / FoV / z-shift from point maps (geometry.py:162-215).
 
     Returns (depth (..., H, W), fov_x (...), fov_y (...), shift (...)).
     Batched: all leading dims solve in parallel on device.
+
+    `image_size=(ih, iw)`: original image resolution when `points` was
+    ALREADY nearest-downsampled by the caller (with the same
+    `(arange(d)*orig)//d` index formula) — the UV grid, aspect ratio and
+    FoV must come from the original geometry, not the downsampled shape.
+    Callers use this to downsample on HOST so only the small map crosses
+    to the device.
     """
     shape = points.shape
     h, w = shape[-3], shape[-2]
-    diagonal = (h**2 + w**2) ** 0.5
+    ih, iw = image_size if image_size is not None else (h, w)
+    diagonal = (ih**2 + iw**2) ** 0.5
     pts = points.reshape(-1, h, w, 3)
     b = pts.shape[0]
 
@@ -98,7 +107,11 @@ def point_map_to_depth(
     yi = (jnp.arange(dh) * h // dh).astype(jnp.int32)
     xi = (jnp.arange(dw) * w // dw).astype(jnp.int32)
     pts_lr = pts[:, yi][:, :, xi]                       # (B, dh, dw, 3)
-    uv_lr = image_plane_uv(w, h)[yi][:, xi]             # (dh, dw, 2)
+    # UV sampled from the ORIGINAL image-plane grid at the pixel positions
+    # the (possibly caller-side) downsample selected
+    yi_full = (jnp.arange(dh) * ih // dh).astype(jnp.int32)
+    xi_full = (jnp.arange(dw) * iw // dw).astype(jnp.int32)
+    uv_lr = image_plane_uv(iw, ih)[yi_full][:, xi_full]  # (dh, dw, 2)
 
     if mask is not None:
         m = mask.reshape(-1, h, w)[:, yi][:, :, xi].astype(pts.dtype)
@@ -110,8 +123,8 @@ def point_map_to_depth(
                                                      wt.reshape(-1)))
     shift, focal = solve(pts_lr, m)                     # (B,), (B,)
 
-    fov_x = 2 * jnp.arctan(w / diagonal / focal)
-    fov_y = 2 * jnp.arctan(h / diagonal / focal)
+    fov_x = 2 * jnp.arctan(iw / diagonal / focal)
+    fov_y = 2 * jnp.arctan(ih / diagonal / focal)
     depth = pts[..., 2] + shift[:, None, None]
 
     lead = shape[:-3]

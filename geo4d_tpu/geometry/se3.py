@@ -147,6 +147,46 @@ def umeyama_sim3(
     return s, R, t
 
 
+def umeyama_sim3_np(src, dst, weights=None, with_scale: bool = True):
+    """Host (numpy) weighted Umeyama — same math as `umeyama_sim3`.
+
+    Used by the alignment init chain, which runs on host between device
+    phases (like the reference's roma/cv2 CPU calls, init_im_poses.py:
+    797-800): the inputs are multi-megapoint overlap tensors, and the math
+    is two weighted means + a 3x3 SVD — memory-bandwidth work that numpy
+    does in milliseconds, vs multi-second transfer over a remote-device
+    link per call.
+    """
+    import numpy as np
+
+    src = np.asarray(src, np.float64).reshape(-1, 3)
+    dst = np.asarray(dst, np.float64).reshape(-1, 3)
+    n = src.shape[0]
+    w = np.ones((n,)) if weights is None else np.asarray(weights, np.float64).reshape(-1)
+    if w.sum() <= 1e-8:
+        w = np.ones_like(w)
+    w = w / (w.sum() + 1e-12)
+    mu_s = w @ src
+    mu_d = w @ dst
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = (xd * w[:, None]).T @ xs  # dst x src covariance
+    U, D, Vt = np.linalg.svd(cov)
+    sign = np.sign(np.linalg.det(U @ Vt)) or 1.0
+    S = np.diag([1.0, 1.0, sign])
+    R = U @ S @ Vt
+    if with_scale:
+        var_s = np.sum(w @ (xs**2))
+        s = float(np.sum(D * np.diag(S)) / (var_s + 1e-12))
+        if not np.isfinite(s):
+            s = 1.0
+        s = float(np.clip(s, 1e-6, 1e6))
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
 def sRT_to_mat4(s, R, t) -> jnp.ndarray:
     """Compose similarity transform 4x4 from scale, rotation, translation."""
     top = jnp.concatenate([s * R, t[..., None]], axis=-1)

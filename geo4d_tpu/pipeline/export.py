@@ -34,6 +34,7 @@ def save_results_dir(
     rgb_frames: Optional[np.ndarray] = None,   # (N, H, W, 3) in [-1, 1]
     save_glb: bool = True,
     conf_threshold: float = 1e-3,
+    dynamic_masks: Optional[np.ndarray] = None,  # (N, H, W) bool/0-1
 ):
     os.makedirs(out_dir, exist_ok=True)
     np.savetxt(os.path.join(out_dir, "pred_traj.txt"), aligner.get_tum_poses())
@@ -61,6 +62,21 @@ def save_results_dir(
         except ImportError:
             pass
 
+    if dynamic_masks is not None:
+        # filename convention the vendored viser reader globs
+        # (_record3d_customized.py:64 `enlarged_dynamic_mask_*.png`,
+        # indexed without zero padding)
+        try:
+            from PIL import Image
+
+            for i in range(len(dynamic_masks)):
+                m = (np.asarray(dynamic_masks[i]) > 0).astype(np.uint8) * 255
+                Image.fromarray(m).save(
+                    os.path.join(out_dir, f"enlarged_dynamic_mask_{i}.png")
+                )
+        except ImportError:
+            pass
+
     if save_glb:
         pts = aligner.get_pts3d().reshape(-1, 3)
         mask = (confs > conf_threshold).reshape(-1)
@@ -68,9 +84,97 @@ def save_results_dir(
             colors = ((rgb_frames + 1) / 2).clip(0, 1).reshape(-1, 3)
         else:
             colors = np.full_like(pts, 0.5)
-        write_pointcloud_glb(
-            os.path.join(out_dir, "scene.glb"), pts[mask], colors[mask]
+        # camera frusta alongside the cloud (dust3r/viz.py:258 add_scene_cam)
+        poses = aligner.get_im_poses()
+        focals = aligner.get_focals()
+        h, w = depths.shape[1:]
+        scene_scale = float(
+            np.linalg.norm(poses[:, :3, 3] - poses[:, :3, 3].mean(0), axis=1).max()
         )
+        fv, fc, ff = camera_frusta_mesh(
+            poses, focals, (w, h), screen_width=max(scene_scale, 1e-3) * 0.1
+        )
+        write_scene_glb(
+            os.path.join(out_dir, "scene.glb"),
+            pts[mask], colors[mask], fv, fc, ff,
+        )
+
+
+# per-camera edge colors cycled like the reference's CAM_COLORS
+# (dust3r/viz.py:14-21) — values are original
+_CAM_PALETTE = np.asarray(
+    [
+        [0.90, 0.10, 0.10], [0.10, 0.60, 0.90], [0.10, 0.80, 0.30],
+        [0.95, 0.75, 0.10], [0.70, 0.30, 0.85], [0.95, 0.45, 0.10],
+        [0.20, 0.85, 0.80], [0.55, 0.55, 0.55],
+    ],
+    np.float32,
+)
+
+
+def camera_frustum_mesh(
+    c2w: np.ndarray,            # (4, 4)
+    focal: float,
+    imsize_wh: tuple,
+    color: np.ndarray,          # (3,)
+    screen_width: float = 0.03,
+):
+    """One camera as a 5-vertex pyramid: apex at the optical center, base =
+    image plane at depth `height` (parity: dust3r/viz.py:258-296
+    add_scene_cam's 4-section cone with aspect + focal scaling).
+
+    Returns (verts (5,3), colors (5,3), faces (6,3))."""
+    w, h = imsize_wh
+    focal = float(np.atleast_1d(focal)[0]) or min(h, w) * 1.1
+    height = max(screen_width / 10, focal * screen_width / h)
+    half = screen_width * 0.5**0.5
+    aspect = w / h
+    # camera-frame corners; OpenCV convention (+z forward, +y down) to
+    # match get_pts3d's unprojection frame
+    corners = np.asarray(
+        [
+            [-half * aspect, -half, height],
+            [half * aspect, -half, height],
+            [half * aspect, half, height],
+            [-half * aspect, half, height],
+        ],
+        np.float32,
+    )
+    verts = np.concatenate([np.zeros((1, 3), np.float32), corners], axis=0)
+    verts = verts @ c2w[:3, :3].T.astype(np.float32) + c2w[:3, 3].astype(
+        np.float32
+    )
+    faces = np.asarray(
+        [[0, 1, 2], [0, 2, 3], [0, 3, 4], [0, 4, 1], [1, 2, 3], [1, 3, 4]],
+        np.uint32,
+    )
+    cols = np.tile(np.asarray(color, np.float32), (5, 1))
+    return verts, cols, faces
+
+
+def camera_frusta_mesh(
+    poses: np.ndarray,          # (N, 4, 4)
+    focals: np.ndarray,         # (N,)
+    imsize_wh: tuple,
+    screen_width: float = 0.03,
+):
+    """All cameras merged into one colored triangle soup."""
+    vs, cs, fs = [], [], []
+    off = 0
+    for i in range(len(poses)):
+        v, c, f = camera_frustum_mesh(
+            poses[i], focals[i] if i < len(focals) else focals[-1],
+            imsize_wh, _CAM_PALETTE[i % len(_CAM_PALETTE)], screen_width,
+        )
+        vs.append(v)
+        cs.append(c)
+        fs.append(f + off)
+        off += len(v)
+    return (
+        np.concatenate(vs, axis=0),
+        np.concatenate(cs, axis=0),
+        np.concatenate(fs, axis=0),
+    )
 
 
 def write_pointcloud_glb(path: str, points: np.ndarray, colors: np.ndarray):
@@ -207,6 +311,79 @@ def write_mesh_glb(path: str, vertices: np.ndarray, colors: np.ndarray,
     json_data = json.dumps(gltf).encode()
     json_pad = (4 - len(json_data) % 4) % 4
     json_data += b" " * json_pad
+    total = 12 + 8 + len(json_data) + 8 + len(bin_data)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(json_data), 0x4E4F534A))
+        f.write(json_data)
+        f.write(struct.pack("<II", len(bin_data), 0x004E4942))
+        f.write(bin_data)
+
+
+def write_scene_glb(
+    path: str,
+    points: np.ndarray,      # (N, 3) point cloud
+    point_colors: np.ndarray,
+    tri_verts: np.ndarray,   # (V, 3) camera-frusta triangle soup
+    tri_colors: np.ndarray,
+    tri_faces: np.ndarray,   # (F, 3) uint32
+):
+    """Binary glTF with TWO primitives: the point cloud and the camera
+    frusta (parity: dust3r/demo.py:56-86 exports both into one scene)."""
+    points = np.asarray(points, np.float32)
+    point_colors = np.asarray(point_colors, np.float32)
+    tri_verts = np.asarray(tri_verts, np.float32)
+    tri_colors = np.asarray(tri_colors, np.float32)
+    tri_faces = np.asarray(tri_faces, np.uint32)
+
+    chunks = [points.tobytes(), point_colors.tobytes(),
+              tri_verts.tobytes(), tri_colors.tobytes(), tri_faces.tobytes()]
+    offsets, off = [], 0
+    for c in chunks:
+        offsets.append(off)
+        off += len(c)
+    bin_data = b"".join(chunks)
+    bin_data += b"\x00" * ((4 - len(bin_data) % 4) % 4)
+
+    def vec3_acc(view, count, arr=None):
+        acc = {"bufferView": view, "componentType": 5126, "count": count,
+               "type": "VEC3"}
+        if arr is not None and count:
+            acc["min"] = arr.min(0).tolist()
+            acc["max"] = arr.max(0).tolist()
+        elif arr is not None:
+            acc["min"] = [0, 0, 0]
+            acc["max"] = [0, 0, 0]
+        return acc
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "geo4d_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [{"mesh": 0, "name": "pointcloud"},
+                  {"mesh": 1, "name": "cameras"}],
+        "meshes": [
+            {"primitives": [{"attributes": {"POSITION": 0, "COLOR_0": 1},
+                             "mode": 0}]},
+            {"primitives": [{"attributes": {"POSITION": 2, "COLOR_0": 3},
+                             "indices": 4, "mode": 4}]},
+        ],
+        "accessors": [
+            vec3_acc(0, len(points), points),
+            vec3_acc(1, len(point_colors)),
+            vec3_acc(2, len(tri_verts), tri_verts),
+            vec3_acc(3, len(tri_colors)),
+            {"bufferView": 4, "componentType": 5125, "count": tri_faces.size,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": offsets[i], "byteLength": len(chunks[i])}
+            for i in range(5)
+        ],
+        "buffers": [{"byteLength": len(bin_data)}],
+    }
+    json_data = json.dumps(gltf).encode()
+    json_data += b" " * ((4 - len(json_data) % 4) % 4)
     total = 12 + 8 + len(json_data) + 8 + len(bin_data)
     with open(path, "wb") as f:
         f.write(struct.pack("<III", 0x46546C67, 2, total))

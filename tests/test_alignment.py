@@ -144,3 +144,91 @@ def test_two_phase_with_depth_traj(synthetic):
     assert aligner.get_depthmaps().shape == (8, h, w)
     assert aligner.get_intrinsics().shape == (8, 3, 3)
     assert aligner.get_pts3d().shape == (8, h, w, 3)
+
+
+def test_bucketing_padding_is_invisible(rng):
+    """Padded (bucketed) aligner must produce the same loss and the same
+    optimized outputs as an unpadded one — padding exists only for compile
+    reuse across sequences."""
+    G, S, h, w = 3, 4, 8, 8
+    groups = np.stack([np.arange(s, s + S) for s in range(0, 2 * G, 2)])
+    N = int(groups.max()) + 1
+    preds = rng.normal(size=(G, S, h * w, 3)).astype(np.float32)
+    conf = rng.uniform(0.2, 1.0, size=(G, S, h * w)).astype(np.float32)
+    invd = rng.uniform(0.1, 0.9, size=(G, S, h * w)).astype(np.float32)
+
+    outs = []
+    for bg, bf in [(1, 1), (4, 8)]:
+        cfg = AlignerConfig(
+            n_iter=20, depth_traj_start_iter=10, lr=0.01,
+            temporal_smoothing_weight=0.015, bucket_groups=bg, bucket_frames=bf,
+        )
+        al = GroupAligner(groups, preds, conf, (h, w), invdepth=invd, config=cfg)
+        if bg == 1:
+            assert al.Gp == G and al.Np == N
+        else:
+            assert al.Gp == 4 and al.Np == 8
+        l0 = float(al.loss_fn(al.params, False))
+        al.run()
+        outs.append((l0, al.get_depthmaps(), al.get_im_poses()))
+    (l0a, d_a, p_a), (l0b, d_b, p_b) = outs
+    assert l0a == pytest.approx(l0b, rel=1e-5)
+    assert np.allclose(d_a, d_b, rtol=1e-4, atol=1e-5)
+    assert np.allclose(p_a, p_b, rtol=1e-4, atol=1e-5)
+
+
+def test_flow_loss_and_cleanup_wiring(rng):
+    """flow_loss_weight is live: supplying target flows changes the loss
+    and the optimization; apply_cleanup rewrites im_conf in place."""
+    G, S, h, w = 2, 4, 8, 8
+    groups = np.stack([np.arange(s, s + S) for s in range(0, 2 * G, 2)])
+    N = int(groups.max()) + 1
+    preds = rng.normal(size=(G, S, h * w, 3)).astype(np.float32)
+    conf = rng.uniform(0.2, 1.0, size=(G, S, h * w)).astype(np.float32)
+    flows = rng.normal(scale=2.0, size=(N - 1, h, w, 2)).astype(np.float32)
+
+    base = AlignerConfig(n_iter=6, depth_traj_start_iter=3, bucket_groups=1,
+                         bucket_frames=1)
+    off = GroupAligner(groups, preds, conf, (h, w), config=base,
+                       target_flows=flows)
+    assert not off.has_flow  # weight 0 -> term inert
+
+    cfg = AlignerConfig(n_iter=6, depth_traj_start_iter=3, bucket_groups=1,
+                        bucket_frames=1, flow_loss_weight=0.5,
+                        flow_loss_start_frac=0.0)
+    on = GroupAligner(groups, preds, conf, (h, w), config=cfg,
+                      target_flows=flows)
+    assert on.has_flow
+    l_off = float(off.loss_fn(off.params, False))
+    l_on = float(on.loss_fn(on.params, False, iter_frac=1.0))
+    assert l_on > l_off  # random target flows add positive flow error
+    on.run()
+    assert np.isfinite(on.get_depthmaps()).all()
+
+    conf_before = on.get_conf().copy()
+    on.apply_cleanup(bad_conf=0.0)
+    after = on.get_conf()
+    assert after.shape == conf_before.shape
+    assert (after <= conf_before + 1e-6).all()  # cleanup only lowers conf
+
+
+def test_postprocess_to_aligner_config_mapping():
+    """An unmodified reference-layout postprocess block maps onto
+    AlignerConfig (configs/inference_geo4d.yaml:169-186)."""
+    from geo4d_tpu.cli.common import aligner_config_from_postprocess
+    from geo4d_tpu.core.config import load_config
+
+    pp = load_config("configs/inference_geo4d.yaml")["postprocess"]
+    acfg = aligner_config_from_postprocess(pp)
+    assert acfg.n_iter == 500
+    assert acfg.temporal_smoothing_weight == 0.015
+    assert acfg.shared_focal is True
+    assert acfg.schedule == "linear"
+    assert acfg.flow_loss_weight == 0.0
+    assert acfg.motion_mask_thre == 0.35
+    acfg2 = aligner_config_from_postprocess(
+        {"flow_loss_fn": "smooth_l1", "not_shared_focal": True,
+         "flow_loss_weight": 0.01}, n_iter=50,
+    )
+    assert acfg2.n_iter == 50 and acfg2.flow_loss_fn == "l1"
+    assert acfg2.shared_focal is False and acfg2.flow_loss_weight == 0.01

@@ -114,3 +114,88 @@ def test_prepare_bonn_layout(tmp_path):
     prepare_bonn(str(tmp_path), seqs=["balloon2"], n_frames=5)
     assert len(os.listdir(base / "rgb_5")) == 5
     assert len(open(base / "groundtruth_5.txt").readlines()) == 5
+
+
+def test_prepare_nyuv2_layout(tmp_path):
+    """h5 -> png + npy + normalized depth png (prepare_nyuv2.py parity)."""
+    h5py = pytest.importorskip("h5py")
+    from geo4d_tpu.data.preprocess import prepare_nyuv2
+
+    off = tmp_path / "official"
+    off.mkdir()
+    rng = np.random.default_rng(0)
+    with h5py.File(off / "scene_1.h5", "w") as f:
+        f["depth"] = rng.uniform(1, 5, (6, 8)).astype(np.float32)
+        f["rgb"] = rng.integers(0, 255, (3, 6, 8), dtype=np.uint8)
+    prepare_nyuv2(str(tmp_path))
+    from PIL import Image
+
+    img = np.asarray(Image.open(tmp_path / "nyu_images" / "scene_1.png"))
+    assert img.shape == (6, 8, 3)
+    d = np.load(tmp_path / "nyu_depths" / "scene_1.npy")
+    assert d.shape == (6, 8)
+    dimg = np.asarray(Image.open(tmp_path / "nyu_depth_imgs" / "scene_1.png"))
+    assert dimg.min() == 0 and dimg.max() == 255
+
+
+def test_sintel_get_dynamics_static_vs_moving(tmp_path):
+    """A rigid scene yields empty dynamic labels; a region whose GT flow
+    violates the rigid prediction by > threshold is marked dynamic
+    (sintel_get_dynamics.py:109-170 semantics)."""
+    import struct
+
+    from geo4d_tpu.data.preprocess import read_flo, sintel_get_dynamics
+
+    TAG = 202021.25
+    h, w = 12, 16
+    seq = "alley_1"
+    for sub in ("depth", "camdata_left", "flow"):
+        (tmp_path / sub / seq).mkdir(parents=True)
+
+    K = np.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]])
+    depth = np.full((h, w), 3.0, np.float32)
+    # two frames: camera translates +x by 0.1 (w2c extrinsics)
+    E1 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    E2 = np.hstack([np.eye(3), np.array([[-0.1], [0.0], [0.0]])])
+
+    def write_dpt(path, dmap):
+        with open(path, "wb") as f:
+            f.write(struct.pack("<fii", TAG, w, h))
+            dmap.astype(np.float32).tofile(f)
+
+    def write_cam(path, M, N):
+        with open(path, "wb") as f:
+            f.write(struct.pack("<f", TAG))
+            M.astype(np.float64).tofile(f)
+            N.astype(np.float64).tofile(f)
+
+    def write_flo(path, flow):
+        with open(path, "wb") as f:
+            f.write(struct.pack("<fii", TAG, w, h))
+            flow.astype(np.float32).tofile(f)
+
+    for fid, E in (("frame_0001", E1), ("frame_0002", E2)):
+        write_dpt(tmp_path / "depth" / seq / f"{fid}.dpt", depth)
+        write_cam(tmp_path / "camdata_left" / seq / f"{fid}.cam", K, E)
+
+    # GT flow = the rigid flow of the pure camera translation:
+    # u = fx * tx / z (constant), except a "moving object" patch
+    rigid_u = 20.0 * 0.1 / 3.0
+    flow = np.zeros((h, w, 2), np.float32)
+    flow[..., 0] = rigid_u
+    flow[2:5, 3:7, 0] += 50.0  # dynamic patch
+    write_flo(tmp_path / "flow" / seq / "frame_0001.flo", flow)
+
+    # round-trip check of the .flo reader
+    back = read_flo(str(tmp_path / "flow" / seq / "frame_0001.flo"))
+    assert np.allclose(back, flow)
+
+    out = sintel_get_dynamics(str(tmp_path), seq)
+    assert len(out) == 1
+    from PIL import Image
+
+    label = np.asarray(Image.open(out[0]))
+    assert (label[2:5, 3:7] == 255).all()
+    outside = label.copy()
+    outside[2:5, 3:7] = 0
+    assert (outside == 0).all()

@@ -106,3 +106,68 @@ def test_dataset_registry():
     assert DATASET_FPS["kitti"] == 10
     assert len(SINTEL_POSE_SEQS) == 14
     assert len(BONN_SEQS) == 5
+
+
+def test_batched_random_sampler_semantics():
+    """Epoch-seeded, rank-sharded, feature-pooled sampling
+    (lvdm/data/batched_sampler.py:21-69 parity)."""
+    from geo4d_tpu.data.sampler import BatchedRandomSampler, epoch_plan
+
+    n, bs, pool, ws = 23, 4, 3, 2
+    # same epoch -> identical plan; different epoch -> different
+    p1 = epoch_plan(n, bs, pool, epoch=5, world_size=ws)
+    p2 = epoch_plan(n, bs, pool, epoch=5, world_size=ws)
+    p3 = epoch_plan(n, bs, pool, epoch=6, world_size=ws)
+    assert (p1 == p2).all()
+    assert (p1 != p3).any()
+    # drop_last: total rounded down to a multiple of bs*ws
+    assert len(p1) == (n // (bs * ws)) * bs * ws == 16
+    # each consecutive batch shares one feat idx, drawn from the pool
+    feats = p1[:, 1].reshape(-1, bs)
+    assert (feats == feats[:, :1]).all()
+    assert (p1[:, 1] < pool).all()
+    # sample indices are distinct (a shuffle, not a draw)
+    assert len(set(p1[:, 0].tolist())) == len(p1)
+
+    # ranks partition the plan disjointly and batch-aligned
+    s0 = BatchedRandomSampler(n, bs, pool, world_size=ws, rank=0)
+    s1 = BatchedRandomSampler(n, bs, pool, world_size=ws, rank=1)
+    s0.set_epoch(5)
+    s1.set_epoch(5)
+    r0, r1 = list(s0), list(s1)
+    assert len(r0) == len(r1) == len(s0) == 8
+    assert [t[0] for t in r0] + [t[0] for t in r1] == p1[:, 0].tolist()
+
+    # non-distributed + drop_last=False wraps the tail modulo n
+    pf = epoch_plan(n, bs, pool, epoch=1, drop_last=False)
+    assert len(pf) == n and (pf[:, 0] < n).all()
+
+
+def test_npz_stream_deterministic_epoch_order(tmp_path):
+    """npz_stream batches follow the epoch plan, deterministically."""
+    from geo4d_tpu.cli.train import npz_stream
+
+    t, hw = 2, 4
+    for i in range(5):
+        np.savez(
+            tmp_path / f"clip_{i}.npz",
+            video=np.full((t, hw, hw, 3), i, np.float32),
+            normed_allpts=np.zeros((t, hw, hw, 3), np.float32),
+            plucker_raymap=np.zeros((t, hw, hw, 3), np.float32),
+            plucker_cross=np.zeros((t, hw, hw, 3), np.float32),
+            inverse_depth=np.zeros((t, hw, hw, 1), np.float32),
+            fps=24,
+        )
+
+    def first_ids(stream, n_batches=2):
+        out = []
+        for _ in range(n_batches):
+            b = next(stream)
+            out.append([int(v[0, 0, 0, 0]) for v in b["video"]])
+        return out
+
+    a = first_ids(npz_stream(str(tmp_path), 2, t))
+    b = first_ids(npz_stream(str(tmp_path), 2, t))
+    assert a == b  # same epoch seed -> same order
+    c = first_ids(npz_stream(str(tmp_path), 2, t, start_epoch=1))
+    assert a != c  # next epoch reshuffles

@@ -67,6 +67,100 @@ def test_mesh_glb(tmp_path):
     assert data[:4] == b"glTF" and len(data) > 100
 
 
+def test_camera_frusta_and_scene_glb(tmp_path):
+    """Frusta: one 5-vert pyramid per camera, apex at the optical center,
+    combined with the point cloud into a 2-primitive GLB
+    (dust3r/viz.py:258 add_scene_cam + demo.py:56-86)."""
+    import json
+    import struct
+
+    from geo4d_tpu.pipeline.export import camera_frusta_mesh, write_scene_glb
+
+    n = 4
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n) * 0.5
+    focals = np.full(n, 100.0)
+    v, c, f = camera_frusta_mesh(poses, focals, (64, 48), screen_width=0.1)
+    assert v.shape == (5 * n, 3) and f.shape == (6 * n, 3)
+    # apex of camera i sits at its optical center
+    for i in range(n):
+        assert np.allclose(v[5 * i], poses[i, :3, 3], atol=1e-6)
+    # faces index only within each camera's vertex block
+    for i in range(n):
+        blk = f[6 * i: 6 * (i + 1)]
+        assert blk.min() >= 5 * i and blk.max() < 5 * (i + 1)
+
+    pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+    cols = np.random.default_rng(1).uniform(size=(100, 3)).astype(np.float32)
+    path = str(tmp_path / "scene.glb")
+    write_scene_glb(path, pts, cols, v, c, f)
+    data = open(path, "rb").read()
+    assert data[:4] == b"glTF"
+    json_len = struct.unpack("<I", data[12:16])[0]
+    tree = json.loads(data[20: 20 + json_len])
+    assert len(tree["meshes"]) == 2
+    assert tree["meshes"][0]["primitives"][0]["mode"] == 0   # POINTS
+    assert tree["meshes"][1]["primitives"][0]["mode"] == 4   # TRIANGLES
+    assert tree["accessors"][0]["count"] == 100
+    assert tree["accessors"][4]["count"] == f.size
+
+
+def test_save_results_dir_with_masks_and_frusta(tmp_path):
+    """save_results_dir writes the viser dynamic-mask convention
+    (enlarged_dynamic_mask_{i}.png, _record3d_customized.py:64) and a
+    frusta-bearing scene.glb."""
+    pytest.importorskip("PIL")
+
+    class FakeAligner:
+        N, H, W = 2, 8, 10
+
+        def get_tum_poses(self):
+            return Trajectory.from_matrices(
+                np.tile(np.eye(4), (2, 1, 1))
+            ).to_tum()
+
+        def get_focals(self):
+            return np.full(2, 12.0)
+
+        def get_intrinsics(self):
+            K = np.tile(np.eye(3), (2, 1, 1))
+            K[:, 0, 0] = K[:, 1, 1] = 12.0
+            return K
+
+        def get_im_poses(self):
+            p = np.tile(np.eye(4), (2, 1, 1))
+            p[1, 2, 3] = 0.3
+            return p
+
+        def get_depthmaps(self):
+            return np.ones((2, 8, 10), np.float32)
+
+        def get_conf(self):
+            return np.ones((2, 8, 10), np.float32)
+
+        def get_init_conf(self):
+            return np.ones((2, 8, 10), np.float32)
+
+        def get_pts3d(self):
+            return np.random.default_rng(0).normal(size=(2, 8, 10, 3))
+
+    from geo4d_tpu.pipeline.export import save_results_dir
+
+    masks = np.zeros((2, 8, 10))
+    masks[:, :4] = 1
+    save_results_dir(str(tmp_path), FakeAligner(),
+                     rgb_frames=np.zeros((2, 8, 10, 3)),
+                     dynamic_masks=masks)
+    from PIL import Image
+
+    for i in range(2):
+        p = tmp_path / f"enlarged_dynamic_mask_{i}.png"
+        assert p.exists()
+        m = np.asarray(Image.open(p))
+        assert (m[:4] == 255).all() and (m[4:] == 0).all()
+    assert (tmp_path / "scene.glb").exists()
+
+
 def test_depth_visualizations(tmp_path, results_dir):
     depths = np.stack([np.load(os.path.join(results_dir, f"frame_{i:04d}.npy"))
                        for i in range(3)])
