@@ -9,3 +9,9 @@ g++ -O3 -fPIC -shared -std=c++17 \
     $(pkg-config --cflags --libs libavformat libavcodec libavutil libswscale)
 
 echo "built native/libgeo4d_video.so"
+
+g++ -O3 -fPIC -shared -std=c++17 -march=native \
+    mesh_raster.cpp \
+    -o libgeo4d_raster.so
+
+echo "built native/libgeo4d_raster.so"
