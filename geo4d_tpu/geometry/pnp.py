@@ -111,6 +111,11 @@ def fast_pnp(
     if mask.sum() < 4:
         return None
     h, w, _ = pts3d.shape
+    # degenerate map (all masked points identical — e.g. zero/constant
+    # predictions): no focal candidate can succeed; skip the 63-candidate
+    # sweep x RANSAC, which costs seconds per frame before failing anyway
+    if np.ptp(pts3d[mask], axis=0).max() < 1e-9:
+        return None
     pixels = _pixel_grid(h, w)
     S = max(w, h)
     if focal is None:

@@ -60,6 +60,7 @@ class InferenceConfig:
     denorm_beta: float = 2.0
     invalid_conf: float = 999.0
     window_batch: int = 1        # windows per device launch (raise on big chips)
+    keep_plucker_maps: bool = False  # also return raw ray/cross maps (debug)
 
 
 class WindowPredictor:
@@ -87,7 +88,6 @@ class WindowPredictor:
             self._window_sharding = None
             self._repl = None
         self.params = params
-        self._jitted = {}
 
     def _window_fn(self):
         cfg = self.cfg
@@ -143,16 +143,49 @@ class WindowPredictor:
                 pts, cfg.denorm_alpha, cfg.denorm_beta
             )
             inv_depth = denormalize_inverse_depth(dec["inv_depth"][..., 0])
-            return {
+            # diffusion cameras recovered INSIDE the jit: avoids fetching the
+            # 6 ray/cross channels to host (~50 MB/window on a remote link)
+            # and a separate device launch per window
+            traj = jax.vmap(
+                lambda r, m: cameras_from_plucker(r, m)[0]
+            )(dec["raymap"], dec["crossmap"])
+            out = {
                 "pts3d": pts,
                 "conf": inv_conf,
                 "valid": ~invalid,
-                "raymap": dec["raymap"],
-                "crossmap": dec["crossmap"],
                 "inv_depth": inv_depth,
+                "traj": traj,
             }
+            if cfg.keep_plucker_maps:
+                out["raymap"] = dec["raymap"]
+                out["crossmap"] = dec["crossmap"]
+            return out
 
         return run
+
+    def _video_fn(self):
+        """Like `_window_fn` but takes the FULL video + per-window frame
+        indices and gathers windows ON DEVICE: stride-4 windows overlap 75%,
+        so uploading the video once instead of per-window frame stacks cuts
+        host->device traffic ~4x."""
+        run = self._window_fn()
+
+        def run_video(params, video, gidx, text_ctx, uncond_text_ctx, fs, key):
+            return run(params, video[gidx], text_ctx, uncond_text_ctx, fs, key)
+
+        return run_video
+
+    def _get_jitted(self, name: str, build):
+        """Jit cache attached to the MODEL instance, not the predictor:
+        `reconstruct` creates a fresh WindowPredictor per call, and a fresh
+        `jax.jit(closure)` is a new cache entry — re-tracing the 1.44B-param
+        graph every call (~30s/window over a remote-device link). Keying on
+        (model, config) makes every same-config run reuse one executable."""
+        cache = self.model.__dict__.setdefault("_jit_cache", {})
+        key = (name, self.cfg)
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
 
     def predict_windows(
         self,
@@ -166,9 +199,7 @@ class WindowPredictor:
         diffusion cameras from the Plücker maps."""
         cfg = self.cfg
         g_total = frames_windows.shape[0]
-        if "run" not in self._jitted:
-            self._jitted["run"] = jax.jit(self._window_fn())
-        run = self._jitted["run"]
+        run = self._get_jitted("run", lambda: jax.jit(self._window_fn()))
 
         outs: List[Dict[str, np.ndarray]] = []
         bs = cfg.window_batch
@@ -194,6 +225,54 @@ class WindowPredictor:
             if pad:
                 out = {k: v[:-pad] for k, v in out.items()}
             outs.append(out)
+        return self._merge_outputs(outs)
+
+    def predict_video(
+        self,
+        frames: np.ndarray,           # (N, H, W, 3) full video in [-1, 1]
+        groups: np.ndarray,           # (G, T) int window -> frame indices
+        text_ctx: np.ndarray,
+        fps: int,
+        seed: int = 123,
+        uncond_text_ctx: Optional[np.ndarray] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Diffusion over sliding windows with the video uploaded ONCE and
+        windows gathered on device (stride-4 windows overlap 75% — per-window
+        frame stacks re-send every frame up to 4x)."""
+        cfg = self.cfg
+        g_total = groups.shape[0]
+        run = self._get_jitted("run_video", lambda: jax.jit(self._video_fn()))
+
+        video_dev = jnp.asarray(frames)
+        if self._repl is not None:
+            video_dev = jax.device_put(video_dev, self._repl)
+        if uncond_text_ctx is None:
+            uncond_text_ctx = text_ctx
+        bs = cfg.window_batch
+        if self._window_sharding is not None:
+            bs = max(bs, self.mesh.size)
+        key = jax.random.PRNGKey(seed)
+        outs: List[Dict[str, np.ndarray]] = []
+        for start in range(0, g_total, bs):
+            gidx = groups[start : start + bs]
+            pad = bs - gidx.shape[0]
+            if pad:
+                gidx = np.concatenate([gidx, np.repeat(gidx[-1:], pad, 0)])
+            key, sub = jax.random.split(key)
+            fs = jnp.full((gidx.shape[0],), fps, jnp.int32)
+            gidx_dev = jnp.asarray(gidx, jnp.int32)
+            if self._window_sharding is not None:
+                gidx_dev = jax.device_put(gidx_dev, self._window_sharding)
+            out = run(self.params, video_dev, gidx_dev, jnp.asarray(text_ctx),
+                      jnp.asarray(uncond_text_ctx), fs, sub)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            if pad:
+                out = {k: v[:-pad] for k, v in out.items()}
+            outs.append(out)
+        return self._merge_outputs(outs)
+
+    @staticmethod
+    def _merge_outputs(outs: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         merged = {
             k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
         }
@@ -204,16 +283,7 @@ class WindowPredictor:
         ).clip(-1e4, 1e4)
         merged["conf"] = np.nan_to_num(merged["conf"], nan=0.0).clip(0.0, 1e6)
         merged["inv_depth"] = np.nan_to_num(merged["inv_depth"], nan=0.0)
-
-        # diffusion cameras per window from ray/cross maps (host-chained
-        # jitted solves; tiny tensors)
-        trajs = []
-        for g in range(g_total):
-            poses, _ = cameras_from_plucker(
-                jnp.asarray(merged["raymap"][g]), jnp.asarray(merged["crossmap"][g])
-            )
-            trajs.append(np.asarray(poses))
-        merged["traj"] = np.stack(trajs)
+        merged["traj"] = np.nan_to_num(merged["traj"], nan=0.0)
         return merged
 
 
@@ -237,12 +307,11 @@ def reconstruct(
     """
     t_total, h, w = frames.shape[:3]
     groups = sliding_windows(t_total, inference_config.window, inference_config.stride)
-    frames_windows = frames[groups]   # (G, T, H, W, 3)
 
     predictor = WindowPredictor(model, params, inference_config, mesh=mesh)
     t0 = time.time()
-    preds = predictor.predict_windows(
-        frames_windows, text_ctx, fps, seed, uncond_text_ctx=uncond_text_ctx
+    preds = predictor.predict_video(
+        frames, groups, text_ctx, fps, seed, uncond_text_ctx=uncond_text_ctx
     )
     jax.block_until_ready(preds["pts3d"])
     t_diffusion = time.time() - t0

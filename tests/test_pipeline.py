@@ -47,7 +47,8 @@ def test_window_predictor_shapes(tiny_setup):
     model, params, (H, W, T) = tiny_setup
     # window_batch matches the reconstruct test so the persistent compile
     # cache dedupes the (identical-HLO) window function
-    cfg = InferenceConfig(window=T, stride=2, ddim_steps=2, window_batch=1)
+    cfg = InferenceConfig(window=T, stride=2, ddim_steps=2, window_batch=1,
+                          keep_plucker_maps=True)
     predictor = WindowPredictor(model, params, cfg)
     frames = np.random.default_rng(0).normal(scale=0.3, size=(3, T, H, W, 3)).astype(
         np.float32
