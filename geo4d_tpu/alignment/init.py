@@ -29,15 +29,18 @@ tunneled TPU by keeping it host-side.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from geo4d_tpu.alignment.optimizer import GroupAligner
 from geo4d_tpu.geometry.moge import point_map_to_depth
 from geo4d_tpu.geometry.pnp import fast_pnp
-from geo4d_tpu.geometry.se3 import umeyama_sim3_np
+from geo4d_tpu.geometry.se3 import umeyama_sim3, umeyama_sim3_np
+from geo4d_tpu.geometry.utils import inv_se3
 
 
 def _inv_se3_np(T: np.ndarray) -> np.ndarray:
@@ -93,14 +96,198 @@ def recover_group_focals(
     return focal.astype(np.float64)
 
 
+# ---------------------------------------------------------------------------
+# device-resident init (predictions stay on device; host sees only the
+# small PnP inputs)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _register_window_dev(pts_acc, conf_acc, done, pred_g, conf_g, idx_g):
+    """Sim3-register one window onto the frames already placed, then
+    overwrite its frames' world points (init_im_poses.py:330-393, on
+    device). Non-overlap frames contribute zero weight to the Umeyama —
+    identical math to the host path's overlap-only concatenation."""
+    w = conf_g * conf_acc[idx_g] * done[idx_g][:, None]          # (S, P)
+    s, R, t = umeyama_sim3(
+        pred_g.reshape(-1, 3), pts_acc[idx_g].reshape(-1, 3), w.reshape(-1)
+    )
+    moved = s * pred_g @ R.T + t
+    pts_acc = pts_acc.at[idx_g].set(moved)
+    conf_acc = conf_acc.at[idx_g].set(conf_g)
+    done = done.at[idx_g].set(1.0)
+    return pts_acc, conf_acc, done
+
+
+@jax.jit
+def _pw_sim3_batched_dev(pred_pts, pts_final, conf, conf_final, groups):
+    """Per-window sim3 (init_from_pts3d_group) batched over windows."""
+    def one(pred_g, idx_g, conf_g):
+        return umeyama_sim3(
+            pred_g.reshape(-1, 3),
+            pts_final[idx_g].reshape(-1, 3),
+            (conf_g * conf_final[idx_g]).reshape(-1),
+        )
+    return jax.vmap(one)(pred_pts, groups, conf)
+
+
+@jax.jit
+def _depth_init_dev(pts_final, conf_final, poses_c2w, s_factor):
+    """Per-frame depth from scaled world points + sky fill
+    (init_im_poses.py:588-629, on device)."""
+    pts = pts_final * s_factor                                   # (N, P, 3)
+    w2c = inv_se3(poses_c2w)
+    cam = jnp.einsum("nij,npj->npi", w2c[:, :3, :3], pts) + w2c[:, None, :3, 3]
+    depth = cam[..., 2]                                          # (N, P)
+    sky_distance = jnp.max(depth[0])
+    sky = conf_final < 1e-4
+    return jnp.where(sky, sky_distance, depth)
+
+
+def _init_from_group_device(
+    aligner: GroupAligner,
+    pred_pts,                 # (G, S, H, W, 3) device array
+    conf,                     # (G, S, H, W) device array
+    niter_pnp: int = 10,
+    pnp_stride: int = 2,
+    verbose: bool = False,
+) -> None:
+    """Device-resident init: the multi-megapoint registration math runs
+    where the diffusion outputs already live; the host fetches only a
+    pnp_stride-subsampled copy for OpenCV RANSAC-PnP (deliberate
+    divergence: the reference solves PnP on every masked pixel — a regular
+    stride-2 subsample leaves ~37k correspondences, statistically
+    equivalent for RANSAC, and cuts the device->host fetch 4x).
+
+    Second documented divergence: the reference re-solves PnP each time a
+    later window overwrites a frame; here one PnP pass runs over the FINAL
+    placements (the reference's retained result is also the final visit's).
+    """
+    cfg = aligner.cfg
+    groups = aligner.groups
+    G, S = groups.shape
+    H, W = aligner.H, aligner.W
+    N = aligner.N
+    P = H * W
+
+    pred_flat = pred_pts.reshape(G, S, P, 3)
+    conf_flat = conf.reshape(G, S, P)
+
+    # ---- focal recovery (device downsample, tiny fetch) ----
+    dh = dw = 64
+    yi = (np.arange(dh) * H) // dh
+    xi = (np.arange(dw) * W) // dw
+    ref_pts = pred_pts[:, 0]                                     # (G, H, W, 3)
+    z_shift = 1.0 - jnp.min(ref_pts[..., 2])
+    pts_lr = ref_pts[:, yi][:, :, xi].at[..., 2].add(z_shift)
+    mask_lr = conf[:, 0][:, yi][:, :, xi] > 0.5
+    _, fov_x, fov_y, _ = point_map_to_depth(
+        pts_lr, mask_lr, downsample_size=(dh, dw), image_size=(H, W)
+    )
+    fx = 0.5 / np.tan(np.asarray(fov_x) / 2)
+    fy = 0.5 / np.tan(np.asarray(fov_y) / 2)
+    focal = (fx * W + fy * H) / 2
+    good = focal > 30
+    mean_focal = focal[good].mean() if good.any() else float(max(H, W))
+    rel_err = np.abs(focal - mean_focal) / (mean_focal + 1e-12)
+    focal_group = np.where(rel_err > 0.6, mean_focal, focal)
+
+    # ---- sequential window registration, all on device ----
+    pts_acc = jnp.zeros((N, P, 3), jnp.float32)
+    conf_acc = jnp.zeros((N, P), jnp.float32)
+    done = jnp.zeros((N,), jnp.float32)
+    idx0 = jnp.asarray(groups[0])
+    pts_acc = pts_acc.at[idx0].set(pred_flat[0])
+    conf_acc = conf_acc.at[idx0].set(conf_flat[0])
+    done = done.at[idx0].set(1.0)
+    for g in range(1, G):
+        pts_acc, conf_acc, done = _register_window_dev(
+            pts_acc, conf_acc, done, pred_flat[g], conf_flat[g],
+            jnp.asarray(groups[g]),
+        )
+
+    # ---- host PnP on the subsampled final placements ----
+    sub = np.asarray(
+        pts_acc.reshape(N, H, W, 3)[:, ::pnp_stride, ::pnp_stride]
+    )
+    sub_conf = np.asarray(
+        conf_acc.reshape(N, H, W)[:, ::pnp_stride, ::pnp_stride]
+    )
+    im_poses = np.tile(np.eye(4), (N, 1, 1))
+    im_focals: List[Optional[float]] = [None] * N
+    window_start = {int(groups[g, 0]): g for g in range(G)}
+    for i in range(N):
+        if i in window_start:
+            warm = focal_group[window_start[i]]
+        else:
+            warm = im_focals[i - 1] if i > 0 else None
+        # the subsampled grid is a consistent camera at focal/stride and
+        # pp/stride — convert the warm start in, the recovered focal out;
+        # the POSE is unit-free and needs no correction
+        res = fast_pnp(
+            sub[i], sub_conf[i] > 0.5,
+            focal=None if warm is None else warm / pnp_stride,
+            niter=niter_pnp,
+        )
+        if res is not None:
+            f, pose = res
+            im_focals[i] = f * pnp_stride
+            im_poses[i] = pose
+        elif verbose:
+            print(f"[init] PnP failed for frame {i}; identity fallback")
+
+    # ---- per-window sim3 + global scale normalization ----
+    s_all, R_all, t_all = _pw_sim3_batched_dev(
+        pred_flat, pts_acc, conf_flat, conf_acc, jnp.asarray(groups)
+    )
+    s_np = np.clip(np.asarray(s_all), 1e-6, 1e6)
+    aligner.set_pw_poses_all(s_np, np.asarray(R_all), np.asarray(t_all))
+    s_factor = float(np.exp(np.log(cfg.base_scale) - np.mean(np.log(s_np))))
+    if not np.isfinite(s_factor):
+        s_factor = 1.0
+    im_poses[:, :3, 3] *= s_factor
+
+    # ---- depth init on device, params written batched ----
+    depths = _depth_init_dev(
+        pts_acc, conf_acc, jnp.asarray(im_poses, jnp.float32),
+        jnp.asarray(s_factor, jnp.float32),
+    )
+    aligner.set_depthmaps_dev(depths)
+    aligner.set_poses_all(im_poses)
+
+    if cfg.shared_focal:
+        vals = [f for f in im_focals if f is not None]
+        mean_f = np.mean(vals) if vals else float(max(H, W))
+        aligner.params["focal"] = jnp.asarray(
+            [cfg.focal_break * np.log(mean_f)], jnp.float32
+        )
+    else:
+        f = np.asarray(
+            [fv if fv is not None else focal_group[0] for fv in im_focals],
+            np.float32,
+        )
+        aligner.params["focal"] = jnp.asarray(cfg.focal_break * np.log(f))
+
+    if verbose:
+        init_loss = float(aligner.loss_fn(aligner.params, False))
+        print(f"[init] loss = {init_loss:.5f}")
+
+
 def init_from_group(
     aligner: GroupAligner,
-    pred_pts: np.ndarray,     # (G, S, H, W, 3)
-    conf: np.ndarray,         # (G, S, H, W)
+    pred_pts,                 # (G, S, H, W, 3) numpy OR device array
+    conf,                     # (G, S, H, W)
     niter_pnp: int = 10,      # inference preset (base_opt_group.py:496)
     verbose: bool = False,
 ) -> None:
-    """Full init chain; mutates the aligner's params in place."""
+    """Full init chain; mutates the aligner's params in place.
+
+    Device arrays take the device-resident path (registration math where
+    the data lives); numpy inputs run the host chain below."""
+    if isinstance(pred_pts, jax.Array) and not isinstance(pred_pts, np.ndarray):
+        return _init_from_group_device(
+            aligner, pred_pts, jnp.asarray(conf), niter_pnp, verbose=verbose
+        )
     cfg = aligner.cfg
     groups = aligner.groups
     G, S = groups.shape
@@ -129,7 +316,7 @@ def init_from_group(
 
     # ---- window 0 defines the world frame ----
     for s_idx, img_idx in enumerate(groups[0]):
-        pts3d[img_idx] = np.asarray(pred_pts[0, s_idx], np.float64)
+        pts3d[img_idx] = np.asarray(pred_pts[0, s_idx], np.float32)
         conf_list[img_idx] = np.asarray(conf[0, s_idx])
         if s_idx == 0:
             im_focals[img_idx] = focal_group[0]
@@ -157,8 +344,12 @@ def init_from_group(
         for s_idx, img_idx in enumerate(groups[g]):
             # frames nearer window-start are assumed more accurate; later
             # windows overwrite (init_im_poses.py:373-379)
-            pts = np.asarray(pred_pts[g, s_idx], np.float64).reshape(-1, 3)
-            pts3d[img_idx] = (s * pts @ R.T + t).reshape(H, W, 3)
+            pts = np.asarray(pred_pts[g, s_idx], np.float32).reshape(-1, 3)
+            # f32 storage: the sim3 apply in f32 keeps ~1e-6 relative error,
+            # far below what the 500-iter optimizer corrects anyway
+            pts3d[img_idx] = (
+                s * pts @ R.T.astype(np.float32) + t.astype(np.float32)
+            ).reshape(H, W, 3)
             conf_list[img_idx] = np.asarray(conf[g, s_idx])
             done.add(img_idx)
             warm = focal_group[g] if s_idx == 0 else im_focals[img_idx - 1]
@@ -195,7 +386,7 @@ def init_from_group(
 
     # per-frame depth init from world points + sky fill (host, batched write)
     sky_distance = None
-    depths = np.empty((N, H * W), np.float64)
+    depths = np.empty((N, H * W), np.float32)
     for i in range(N):
         w2c = _inv_se3_np(im_poses_arr[i])
         depth = (pts3d[i].reshape(-1, 3) @ w2c[:3, :3].T + w2c[:3, 3])[:, 2]

@@ -369,11 +369,15 @@ class GroupAligner:
         self.Np = _round_up(self.N, config.bucket_frames)
 
         def pad_g(a, fill=0.0):
-            a = np.asarray(a, np.float32)
+            """Pad the group axis ON DEVICE: inputs may be device-resident
+            jax arrays straight from the diffusion stage — never bounce
+            them through host numpy (a ~230 MB round trip on a remote
+            link)."""
+            a = jnp.asarray(a, jnp.float32)
             if self.Gp == self.G:
                 return a
-            pad = np.full((self.Gp - self.G,) + a.shape[1:], fill, np.float32)
-            return np.concatenate([a, pad], axis=0)
+            pad = jnp.full((self.Gp - self.G,) + a.shape[1:], fill, jnp.float32)
+            return jnp.concatenate([a, pad], axis=0)
 
         # padded windows index a padded frame so their (zero-weight) terms
         # never touch real frames
@@ -381,28 +385,27 @@ class GroupAligner:
         groups_pad[: self.G] = self.groups
 
         self.buf = {
-            "pred_pts": jnp.asarray(
-                pad_g(np.asarray(pred_pts).reshape(self.G, self.S, self.P, 3))
+            "pred_pts": pad_g(
+                jnp.asarray(pred_pts).reshape(self.G, self.S, self.P, 3)
             ),
-            "weights": jnp.asarray(
-                pad_g(np.asarray(weights).reshape(self.G, self.S, self.P))
+            "weights": pad_g(
+                jnp.asarray(weights).reshape(self.G, self.S, self.P)
             ),
             "e_all": jnp.asarray(groups_pad.reshape(-1)),
         }
         self.has_depth = invdepth is not None
         self.has_traj = trajs is not None
         if self.has_depth:
-            self.buf["invdepth"] = jnp.asarray(
-                pad_g(np.asarray(invdepth).reshape(self.G, self.S, self.P))
+            self.buf["invdepth"] = pad_g(
+                jnp.asarray(invdepth).reshape(self.G, self.S, self.P)
             )
         if self.has_traj:
-            eye = np.tile(np.eye(4, dtype=np.float32), (1, self.S, 1, 1))
-            t_pad = np.asarray(trajs, np.float32).reshape(self.G, self.S, 4, 4)
+            t_pad = jnp.asarray(trajs, jnp.float32).reshape(self.G, self.S, 4, 4)
             if self.Gp > self.G:
-                t_pad = np.concatenate(
-                    [t_pad, np.repeat(eye, self.Gp - self.G, axis=0)], axis=0
-                )
-            self.buf["trajs"] = jnp.asarray(t_pad)
+                eye = jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                               (self.Gp - self.G, self.S, 1, 1))
+                t_pad = jnp.concatenate([t_pad, eye], axis=0)
+            self.buf["trajs"] = t_pad
 
         self.has_flow = (
             target_flows is not None and config.flow_loss_weight > 0
@@ -419,15 +422,15 @@ class GroupAligner:
             self.buf["flow_masks"] = jnp.asarray(fm)
 
         # per-frame max confidence across windows (base_opt_group.py:236-242)
-        im_conf = np.zeros((self.N, self.P), np.float32)
-        wnp = np.asarray(weights, np.float32).reshape(self.G, self.S, self.P)
-        for g in range(self.G):
-            for s in range(self.S):
-                im_conf[self.groups[g, s]] = np.maximum(
-                    im_conf[self.groups[g, s]], wnp[g, s]
-                )
-        self.im_conf = im_conf
-        self.init_conf = im_conf.copy()
+        # — one device segment_max + one small fetch instead of a G*S host
+        # loop over megapixel maps
+        im_conf = np.asarray(jax.ops.segment_max(
+            self.buf["weights"][: self.G].reshape(self.G * self.S, self.P),
+            jnp.asarray(self.groups.reshape(-1)),
+            num_segments=self.N,
+        ))
+        self.im_conf = np.maximum(im_conf, 0.0)
+        self.init_conf = self.im_conf.copy()
 
         x, y = np.meshgrid(np.arange(self.W), np.arange(self.H))
         self.grid = jnp.asarray(
@@ -713,6 +716,16 @@ class GroupAligner:
         full = np.asarray(self.params["log_depth"]).copy()
         full[: self.N] = d
         self.params["log_depth"] = jnp.asarray(full)
+
+    def set_depthmaps_dev(self, depths):
+        """Device-resident variant of `set_depthmaps_all`: depths (N, P)
+        already on device; no host round trip."""
+        d = jnp.nan_to_num(
+            jnp.asarray(depths, jnp.float32).reshape(self.N, -1),
+            nan=1.0, posinf=1e4, neginf=1e-6,
+        )
+        d = jnp.log(jnp.clip(d, 1e-6, 1e6))
+        self.params["log_depth"] = self.params["log_depth"].at[: self.N].set(d)
 
     # ---------------- outputs (results-dir contract) ----------------
 

@@ -159,24 +159,33 @@ def umeyama_sim3_np(src, dst, weights=None, with_scale: bool = True):
     """
     import numpy as np
 
-    src = np.asarray(src, np.float64).reshape(-1, 3)
-    dst = np.asarray(dst, np.float64).reshape(-1, 3)
+    # keep the megapoint arrays in their native f32 — only ACCUMULATE in
+    # f64 (einsum dtype=) so no (N, 3) f64 copies are materialized; the
+    # overlap sets here run to millions of points and the f64 copies were
+    # half the init chain's runtime
+    src = np.asarray(src).reshape(-1, 3)
+    dst = np.asarray(dst).reshape(-1, 3)
     n = src.shape[0]
-    w = np.ones((n,)) if weights is None else np.asarray(weights, np.float64).reshape(-1)
-    if w.sum() <= 1e-8:
-        w = np.ones_like(w)
-    w = w / (w.sum() + 1e-12)
-    mu_s = w @ src
-    mu_d = w @ dst
-    xs = src - mu_s
-    xd = dst - mu_d
-    cov = (xd * w[:, None]).T @ xs  # dst x src covariance
+    if weights is None:
+        w = np.full((n,), 1.0 / max(n, 1), np.float32)
+    else:
+        w = np.asarray(weights, np.float32).reshape(-1)
+        tot = float(np.einsum("n->", w, dtype=np.float64))
+        if tot <= 1e-8:
+            w = np.full((n,), 1.0 / max(n, 1), np.float32)
+        else:
+            w = w / tot
+    mu_s = np.einsum("n,ni->i", w, src, dtype=np.float64)
+    mu_d = np.einsum("n,ni->i", w, dst, dtype=np.float64)
+    xs = src - mu_s.astype(src.dtype)
+    xd = dst - mu_d.astype(dst.dtype)
+    cov = np.einsum("n,ni,nj->ij", w, xd, xs, dtype=np.float64)
     U, D, Vt = np.linalg.svd(cov)
     sign = np.sign(np.linalg.det(U @ Vt)) or 1.0
     S = np.diag([1.0, 1.0, sign])
     R = U @ S @ Vt
     if with_scale:
-        var_s = np.sum(w @ (xs**2))
+        var_s = float(np.einsum("n,ni,ni->", w, xs, xs, dtype=np.float64))
         s = float(np.sum(D * np.diag(S)) / (var_s + 1e-12))
         if not np.isfinite(s):
             s = 1.0

@@ -149,6 +149,16 @@ class WindowPredictor:
             traj = jax.vmap(
                 lambda r, m: cameras_from_plucker(r, m)[0]
             )(dec["raymap"], dec["crossmap"])
+            # finite guards IN-JIT: degenerate samples (random/corrupt
+            # weights) must not poison the downstream solvers, and guarding
+            # here keeps the outputs device-resident for the aligner
+            pts = jnp.clip(
+                jnp.nan_to_num(pts, nan=0.0, posinf=1e4, neginf=-1e4),
+                -1e4, 1e4,
+            )
+            inv_conf = jnp.clip(jnp.nan_to_num(inv_conf, nan=0.0), 0.0, 1e6)
+            inv_depth = jnp.nan_to_num(inv_depth, nan=0.0)
+            traj = jnp.nan_to_num(traj, nan=0.0)
             out = {
                 "pts3d": pts,
                 "conf": inv_conf,
@@ -235,10 +245,15 @@ class WindowPredictor:
         fps: int,
         seed: int = 123,
         uncond_text_ctx: Optional[np.ndarray] = None,
+        return_device: bool = False,
     ) -> Dict[str, np.ndarray]:
         """Diffusion over sliding windows with the video uploaded ONCE and
         windows gathered on device (stride-4 windows overlap 75% — per-window
-        frame stacks re-send every frame up to 4x)."""
+        frame stacks re-send every frame up to 4x).
+
+        `return_device=True` keeps every output on device (jax arrays) —
+        the aligner consumes them in place, skipping a ~235 MB fetch +
+        ~230 MB re-upload on a remote-device link."""
         cfg = self.cfg
         g_total = groups.shape[0]
         run = self._get_jitted("run_video", lambda: jax.jit(self._video_fn()))
@@ -265,26 +280,20 @@ class WindowPredictor:
                 gidx_dev = jax.device_put(gidx_dev, self._window_sharding)
             out = run(self.params, video_dev, gidx_dev, jnp.asarray(text_ctx),
                       jnp.asarray(uncond_text_ctx), fs, sub)
-            out = {k: np.asarray(v) for k, v in out.items()}
+            if not return_device:
+                out = {k: np.asarray(v) for k, v in out.items()}
             if pad:
                 out = {k: v[:-pad] for k, v in out.items()}
             outs.append(out)
-        return self._merge_outputs(outs)
+        return self._merge_outputs(outs, device=return_device)
 
     @staticmethod
-    def _merge_outputs(outs: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-        merged = {
-            k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+    def _merge_outputs(outs: List[Dict[str, np.ndarray]],
+                       device: bool = False) -> Dict[str, np.ndarray]:
+        cat = jnp.concatenate if device else np.concatenate
+        return {
+            k: cat([o[k] for o in outs], axis=0) for k in outs[0]
         }
-        # finite guards: degenerate samples (e.g. random/corrupt weights)
-        # must not poison the downstream host solvers with inf/nan
-        merged["pts3d"] = np.nan_to_num(
-            merged["pts3d"], nan=0.0, posinf=1e4, neginf=-1e4
-        ).clip(-1e4, 1e4)
-        merged["conf"] = np.nan_to_num(merged["conf"], nan=0.0).clip(0.0, 1e6)
-        merged["inv_depth"] = np.nan_to_num(merged["inv_depth"], nan=0.0)
-        merged["traj"] = np.nan_to_num(merged["traj"], nan=0.0)
-        return merged
 
 
 def reconstruct(
@@ -310,8 +319,11 @@ def reconstruct(
 
     predictor = WindowPredictor(model, params, inference_config, mesh=mesh)
     t0 = time.time()
+    # device-resident handoff: the aligner builds its buffers from the
+    # diffusion outputs IN PLACE (no prediction fetch / buffer re-upload)
     preds = predictor.predict_video(
-        frames, groups, text_ctx, fps, seed, uncond_text_ctx=uncond_text_ctx
+        frames, groups, text_ctx, fps, seed, uncond_text_ctx=uncond_text_ctx,
+        return_device=True,
     )
     jax.block_until_ready(preds["pts3d"])
     t_diffusion = time.time() - t0

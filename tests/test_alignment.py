@@ -232,3 +232,37 @@ def test_postprocess_to_aligner_config_mapping():
     )
     assert acfg2.n_iter == 50 and acfg2.flow_loss_fn == "l1"
     assert acfg2.shared_focal is False and acfg2.flow_loss_weight == 0.01
+
+
+def test_device_init_matches_host_init(synthetic):
+    """Device-resident init (jax-array inputs) must land within init noise
+    of the host chain (numpy inputs): same registration math, PnP on a
+    stride-2 subsample instead of full res."""
+    import jax.numpy as jnp
+
+    pts_world, poses, depths, focal, groups, preds, conf = synthetic
+    h, w = depths.shape[1:]
+    G, S = groups.shape
+    cfg = AlignerConfig(n_iter=0, depth_traj_start_iter=0,
+                        temporal_smoothing_weight=0.0)
+
+    host = GroupAligner(groups, preds, conf, (h, w), config=cfg)
+    init_from_group(host, preds.reshape(G, S, h, w, 3),
+                    conf.reshape(G, S, h, w))
+
+    dev = GroupAligner(groups, jnp.asarray(preds), jnp.asarray(conf),
+                       (h, w), config=cfg)
+    init_from_group(dev, jnp.asarray(preds.reshape(G, S, h, w, 3)),
+                    jnp.asarray(conf.reshape(G, S, h, w)))
+
+    # both inits must explain the data comparably well
+    l_host = float(host.loss_fn(host.params, False))
+    l_dev = float(dev.loss_fn(dev.params, False))
+    assert l_dev < max(2 * l_host, 0.1)
+    # focal agreement (PnP subsample must not move the focal materially)
+    f_host, f_dev = host.get_focals()[0], dev.get_focals()[0]
+    assert abs(f_host - f_dev) / f_host < 0.1
+    # depth maps broadly agree (same registration; PnP poses differ only
+    # by subsample noise)
+    d_host, d_dev = host.get_depthmaps(), dev.get_depthmaps()
+    assert np.median(np.abs(d_host - d_dev) / np.abs(d_host)) < 0.05
