@@ -329,6 +329,30 @@ def _run_phase(
     return params, opt_state, losses
 
 
+
+@partial(jax.jit, static_argnames=("S",))
+def _calibrate_depth_dev(log_depth, invdepth, weights, e_all, S,
+                         weight_thr, invdepth_thr):
+    """Device-resident depth calibration: per-group L1 (s, t) via batched
+    IRLS + δ<1.25 quality, no megapixel host fetch. Padded groups produce
+    garbage rows; the caller overwrites them."""
+    from geo4d_tpu.evals.depth import lad_align_irls_batched
+
+    Gp = invdepth.shape[0]
+    depth = jnp.exp(log_depth)
+    inv_opt = 1.0 / (depth + 1e-6)
+    inv_opt_g = inv_opt[e_all].reshape(Gp, -1)
+    pred = invdepth.reshape(Gp, -1)
+    mask = (weights.reshape(Gp, -1) > weight_thr) & (pred > invdepth_thr)
+    s, t = lad_align_irls_batched(pred, inv_opt_g, mask)
+    al = jnp.clip(s[:, None] * pred + t[:, None], 1e-8, None)
+    b = jnp.clip(inv_opt_g, 1e-8, None)
+    ratio = jnp.maximum(al / b, b / al)
+    hit = (ratio < 1.25) & mask
+    delta = hit.sum(-1) / jnp.maximum(mask.sum(-1), 1)
+    return s, t, delta
+
+
 class GroupAligner:
     """Functional optimizer over stacked window predictions.
 
@@ -563,63 +587,31 @@ class GroupAligner:
 
     # ---------------- iter-150 calibration ----------------
 
-    def calibrate(self):
-        """Per-group disparity (s,t) via batched lad2 + trajectory origin
-        alignment with validity gating (_set_st_depth/_set_traj parity).
 
-        The reference sweeps lrs {1e-2, 1e-4, 1e-3} per group sequentially
-        (optimizer_group.py:345-366); here each lr runs as ONE lad2 batch
-        over all G groups (3 launches total instead of 3·G·3000 steps)."""
+
+    def calibrate(self):
+        """Per-group disparity (s,t) + trajectory origin alignment with
+        validity gating (_set_st_depth/_set_traj parity).
+
+        Solver divergence (documented): the reference approximates the L1
+        scale-shift with a sequential 3-learning-rate x 3000-step Adam
+        sweep per group, keeping the best-δ prefix result
+        (optimizer_group.py:345-366). Here the SAME objective is solved
+        directly by batched IRLS (evals/depth.py::lad_align_irls) — ~30
+        closed-form iterations reach the L1 optimum the sweep approaches,
+        entirely on device with only (s, t, δ) fetched to host."""
         cfg = self.cfg
         if self.has_depth:
             G = self.G
-            depth = np.asarray(self._depth(self.params))
-            inv_opt = 1.0 / (depth + 1e-6)
-            inv_opt_g = inv_opt[self.groups.reshape(-1)].reshape(G, -1)
-            pred_g = np.asarray(self.buf["invdepth"])[:G].reshape(G, -1)
-            w_g = np.asarray(self.buf["weights"])[:G].reshape(G, -1)
-            mask = (w_g > cfg.weight_valid_thr) & (pred_g > cfg.invdepth_valid_thr)
-
-            pred_j = jnp.asarray(pred_g)
-            gt_j = jnp.asarray(inv_opt_g)
-            mask_j = jnp.asarray(mask)
-            lrs = (1e-2, 1e-4, 1e-3)
-            st = np.stack(
-                [
-                    np.stack(
-                        [np.asarray(v) for v in lad2_align_batched(
-                            pred_j, gt_j, mask_j, lr, 3000
-                        )],
-                        axis=-1,
-                    )
-                    for lr in lrs
-                ]
-            )  # (L, G, 2)
-
-            # δ<1.25 quality per (lr, group) — vectorized on host
-            al = st[:, :, 0:1] * pred_g[None] + st[:, :, 1:2]     # (L, G, Pm)
-            a = np.clip(al, 1e-8, None)
-            b = np.clip(inv_opt_g[None], 1e-8, None)
-            ratio = np.maximum(a / b, b / a)
-            hit = (ratio < 1.25) & mask[None]
-            denom = np.maximum(mask.sum(axis=-1), 1)[None]
-            delta = hit.sum(axis=-1) / denom                      # (L, G)
-
-            # reference early-break semantics: lrs are tried in order and
-            # the sweep stops after the first δ >= 0.8; best is the strict
-            # argmax over the prefix (optimizer_group.py:357-366)
-            s_out = np.empty(G, np.float32)
-            t_out = np.empty(G, np.float32)
-            valid = np.zeros(G, np.float32)
-            for g in range(G):
-                stop = len(lrs)
-                for i in range(len(lrs)):
-                    if delta[i, g] >= 0.8:
-                        stop = i + 1
-                        break
-                i_best = int(np.argmax(delta[:stop, g]))
-                s_out[g], t_out[g] = st[i_best, g]
-                valid[g] = 1.0 if delta[i_best, g] >= cfg.delta_valid_thr else 0.0
+            s_j, t_j, delta_j = _calibrate_depth_dev(
+                self.params["log_depth"], self.buf["invdepth"],
+                self.buf["weights"], self.buf["e_all"],
+                self.S, cfg.weight_valid_thr, cfg.invdepth_valid_thr,
+            )
+            s_out = np.asarray(s_j)[:G]
+            t_out = np.asarray(t_j)[:G]
+            delta = np.asarray(delta_j)[:G]
+            valid = (delta >= cfg.delta_valid_thr).astype(np.float32)
 
             self.params["s_depth"] = jnp.asarray(np.pad(s_out, (0, self.Gp - G),
                                                         constant_values=1.0))

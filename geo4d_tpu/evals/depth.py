@@ -80,6 +80,48 @@ lad2_align_batched = jax.jit(
 )
 
 
+@partial(jax.jit, static_argnames=("max_iters",))
+def lad_align_irls(
+    pred: jnp.ndarray,      # (N,)
+    gt: jnp.ndarray,        # (N,)
+    mask: jnp.ndarray,      # (N,) bool
+    max_iters: int = 30,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The same L1 objective as `lad2_align` — min Σ|s*pred + t − gt| —
+    solved DIRECTLY by iteratively-reweighted least squares: each iteration
+    is a closed-form 2x2 weighted normal-equation solve with weights
+    1/max(|residual|, eps). ~30 iterations reach the L1 optimum the
+    reference's 3x3000-step Adam sweep (optimizer_group.py:345-366)
+    approximates; on accelerators the sequential-step count, not the
+    per-step math, is the cost, so this is ~300x fewer device steps."""
+    m = mask.astype(pred.dtype)
+    s0 = _masked_median(gt, mask) / jnp.maximum(_masked_median(pred, mask), 1e-12)
+
+    def body(_, st):
+        s, t = st[0], st[1]
+        r = s * pred + t - gt
+        w = m / jnp.maximum(jnp.abs(r), 1e-6)
+        sw = jnp.sum(w)
+        sx = jnp.sum(w * pred)
+        sy = jnp.sum(w * gt)
+        sxx = jnp.sum(w * pred * pred)
+        sxy = jnp.sum(w * pred * gt)
+        det = sw * sxx - sx * sx
+        s_new = jnp.where(jnp.abs(det) > 1e-12, (sw * sxy - sx * sy) / det, s)
+        t_new = jnp.where(jnp.abs(det) > 1e-12, (sxx * sy - sx * sxy) / det, t)
+        return jnp.stack([s_new, t_new])
+
+    st = jax.lax.fori_loop(
+        0, max_iters, body, jnp.stack([s0, jnp.asarray(0.0, pred.dtype)])
+    )
+    return st[0], st[1]
+
+
+lad_align_irls_batched = jax.jit(
+    jax.vmap(lad_align_irls, in_axes=(0, 0, 0)),
+)
+
+
 def lstsq_align(pred, gt, mask):
     """Least-squares (s, t) on masked entries (depth_eval.py:61-78)."""
     m = mask.astype(pred.dtype)

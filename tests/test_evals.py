@@ -175,3 +175,37 @@ def test_depth_evaluation_align_mask_fit_subset(rng):
     assert out["valid_pixels"] == 4000
     assert 0.3 < out["Abs Rel"]          # corrupted half included in metrics
     assert out["δ < 1.25"] == pytest.approx(0.5, abs=0.05)
+
+
+def test_lad_irls_matches_l1_optimum():
+    """IRLS reaches the same L1 objective the Adam lad2 sweep approximates,
+    and stays robust to asymmetric outliers (where least-squares fails)."""
+    import jax.numpy as jnp
+
+    from geo4d_tpu.evals.depth import lad2_align, lad_align_irls, lstsq_align
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    pred = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    gt = (1.7 * pred + 0.3).astype(np.float32)
+    # 10% large one-sided outliers
+    idx = rng.choice(n, n // 10, replace=False)
+    gt[idx] += rng.uniform(5, 10, len(idx)).astype(np.float32)
+    mask = np.ones(n, bool)
+
+    def l1(s, t):
+        return float(np.abs(float(s) * pred + float(t) - gt).sum())
+
+    s_i, t_i = lad_align_irls(jnp.asarray(pred), jnp.asarray(gt),
+                              jnp.asarray(mask))
+    s_a, t_a = lad2_align(jnp.asarray(pred), jnp.asarray(gt),
+                          jnp.asarray(mask), lr=1e-2, max_iters=3000)
+    # IRLS lands at (or below) the Adam approximation of the same optimum
+    assert l1(s_i, t_i) <= l1(s_a, t_a) * 1.01
+    # and recovers the inlier line despite the outliers
+    assert float(s_i) == pytest.approx(1.7, abs=0.05)
+    assert float(t_i) == pytest.approx(0.3, abs=0.1)
+    # least squares does NOT (sanity that the test is discriminative)
+    s_l, t_l = lstsq_align(jnp.asarray(pred), jnp.asarray(gt),
+                           jnp.asarray(mask))
+    assert abs(float(s_l) - 1.7) + abs(float(t_l) - 0.3) > 0.3
