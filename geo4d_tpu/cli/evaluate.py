@@ -152,9 +152,10 @@ def main(argv=None):
         from geo4d_tpu.data.video import sliding_windows
 
         groups = sliding_windows(n_frames, args.video_length, args.stride)
-        pnt_valid = np.ones((n_frames,) + preds["valid"].shape[2:], bool)
+        valid_np = np.asarray(preds["valid"])  # one fetch (device-resident preds)
+        pnt_valid = np.ones((n_frames,) + valid_np.shape[2:], bool)
         for g, idx in enumerate(groups):
-            pnt_valid[idx] &= preds["valid"][g]
+            pnt_valid[idx] &= valid_np[g]
 
         # ---- depth metrics ----
         if sample.gt_depth is not None:
