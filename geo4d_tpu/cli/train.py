@@ -37,6 +37,10 @@ def get_parser():
     p.add_argument("--video_length", type=int, default=16)
     p.add_argument("--uncond_prob", type=float, default=0.05)
     p.add_argument("--geometry_condition", action="store_true")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard large parameters + optimizer state over the "
+                        "mesh 'data' axis (ZeRO-style; the reference trained "
+                        "with DeepSpeed sharding, infer_geo4d.py:74-78)")
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument(
@@ -116,9 +120,6 @@ def main(argv=None):
         temporal_length=args.video_length,
     )
     state = create_train_state(params["unet"], cfg)
-    step_fn = jax.jit(make_train_step(
-        lambda p, *a: model.unet.apply(p, *a), model.schedule, cfg
-    ))
     frozen = {k: v for k, v in params.items() if k != "unet"}
     build = jax.jit(
         lambda p, b, k: build_batch(
@@ -130,6 +131,34 @@ def main(argv=None):
 
     mesh = make_mesh()
     batch_shard = NamedSharding(mesh, P("data")) if mesh.size > 1 else None
+
+    raw_step = make_train_step(
+        lambda p, *a: model.unet.apply(p, *a), model.schedule, cfg
+    )
+    if args.fsdp and mesh.size > 1:
+        # ZeRO-style layout: params + EMA + Adam moments shard over 'data';
+        # XLA inserts the all-gathers/reduce-scatters from the shardings.
+        # The optimizer state mirrors the param tree per leaf, so the same
+        # per-param spec applies wherever a leaf has a param's shape.
+        from geo4d_tpu.parallel.mesh import shard_params_fsdp
+
+        param_spec = shard_params_fsdp(mesh, state.params)
+        spec_by_shape = {
+            p.shape: s
+            for p, s in zip(jax.tree_util.tree_leaves(state.params),
+                            jax.tree_util.tree_leaves(param_spec))
+        }
+        repl = NamedSharding(mesh, P())
+
+        def put(leaf):
+            return jax.device_put(
+                leaf, spec_by_shape.get(getattr(leaf, "shape", None), repl)
+            )
+
+        state = jax.tree_util.tree_map(put, state)
+        step_fn = jax.jit(raw_step, donate_argnums=(0,))
+    else:
+        step_fn = jax.jit(raw_step)
 
     logger = MetricLogger(args.out_dir)
     timer = EpochTimer()

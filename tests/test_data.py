@@ -171,3 +171,67 @@ def test_npz_stream_deterministic_epoch_order(tmp_path):
     assert a == b  # same epoch seed -> same order
     c = first_ids(npz_stream(str(tmp_path), 2, t, start_epoch=1))
     assert a != c  # next epoch reshuffles
+
+
+def test_datamodule_loader_semantics():
+    """DataModule parity (main/utils_data_eval.py): per-split loaders,
+    multi-resolution pool batching, test_max_n_samples subsetting,
+    prefetch-thread delivery, iterable worker sharding."""
+    from geo4d_tpu.data.loader import (
+        DataModule,
+        Prefetcher,
+        default_collate,
+        shard_iterable,
+    )
+
+    class Toy:
+        _resolutions = [(32, 32), (64, 32)]
+
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, idx):
+            return {"x": np.full((2, 2), idx, np.float32), "i": idx}
+
+    dm = DataModule(batch_size=2, train=Toy(), test=Toy(),
+                    multi_resolution=True, test_max_n_samples=5).setup()
+
+    batches = list(dm.train_dataloader(epoch=3))
+    # drop_last over 11 samples at bs 2 -> 5 batches
+    assert len(batches) == 5
+    assert batches[0]["x"].shape == (2, 2, 2)
+    seen = sorted(int(i) for b in batches for i in b["i"])
+    assert len(set(seen)) == 10  # a shuffle of 10 distinct samples
+    # deterministic in epoch
+    again = list(dm.train_dataloader(epoch=3))
+    assert all((a["x"] == b["x"]).all() for a, b in zip(batches, again))
+    other = list(dm.train_dataloader(epoch=4))
+    assert any((a["x"] != b["x"]).any() for a, b in zip(batches, other))
+
+    # test loader: subset to 5 -> 2 batches
+    assert len(list(dm.test_dataloader())) == 2
+
+    # collate handles tuples/scalars/strings
+    out = default_collate([(1, "a"), (2, "b")])
+    assert out[0].tolist() == [1, 2] and out[1] == ["a", "b"]
+
+    # prefetcher propagates errors
+    def boom():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = Prefetcher(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        next(it)
+
+    # iterable worker sharding covers all ids disjointly
+    class It:
+        valid_ids = list(range(10))
+
+        def __len__(self):
+            return 10
+
+    shards = [shard_iterable(It(), w, 3) for w in range(3)]
+    flat = [i for s in shards for i in s]
+    assert sorted(flat) == list(range(10))
