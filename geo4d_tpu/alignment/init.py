@@ -216,25 +216,41 @@ def _init_from_group_device(
     im_poses = np.tile(np.eye(4), (N, 1, 1))
     im_focals: List[Optional[float]] = [None] * N
     window_start = {int(groups[g, 0]): g for g in range(G)}
+    # warm start per frame: window-start frames get their window's MoGe
+    # focal; other frames the nearest preceding window-start focal.
+    # (Divergence from the reference's frame-(i-1) chain — which is
+    # inherently sequential — so all N solves run in parallel; focals
+    # within a window are near-constant, making the two warm starts
+    # equivalent in practice.) cv2's RANSAC releases the GIL, so a thread
+    # pool gives real parallelism on multi-core hosts.
+    warm_of = np.empty(N)
+    cur = None
     for i in range(N):
         if i in window_start:
-            warm = focal_group[window_start[i]]
-        else:
-            warm = im_focals[i - 1] if i > 0 else None
+            cur = focal_group[window_start[i]]
+        warm_of[i] = cur if cur is not None else np.nan
+
+    def solve(i):
+        warm = None if np.isnan(warm_of[i]) else float(warm_of[i])
         # the subsampled grid is a consistent camera at focal/stride and
         # pp/stride — convert the warm start in, the recovered focal out;
         # the POSE is unit-free and needs no correction
-        res = fast_pnp(
+        return i, fast_pnp(
             sub[i], sub_conf[i] > 0.5,
             focal=None if warm is None else warm / pnp_stride,
             niter=niter_pnp,
         )
-        if res is not None:
-            f, pose = res
-            im_focals[i] = f * pnp_stride
-            im_poses[i] = pose
-        elif verbose:
-            print(f"[init] PnP failed for frame {i}; identity fallback")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, N)) as pool:
+        for i, res in pool.map(solve, range(N)):
+            if res is not None:
+                f, pose = res
+                im_focals[i] = f * pnp_stride
+                im_poses[i] = pose
+            elif verbose:
+                print(f"[init] PnP failed for frame {i}; identity fallback")
 
     # ---- per-window sim3 + global scale normalization ----
     s_all, R_all, t_all = _pw_sim3_batched_dev(

@@ -168,3 +168,112 @@ def test_depth_visualizations(tmp_path, results_dir):
     save_depth_visualizations(out, depths)
     assert os.path.exists(os.path.join(out, "depth_0000.png"))
     assert os.path.exists(os.path.join(out, "depth.gif"))
+
+
+def _ws_client(port):
+    """Minimal raw-socket websocket client for tests."""
+    import base64 as b64
+    import socket as sk
+    import struct as st
+
+    s = sk.create_connection(("127.0.0.1", port), timeout=10)
+    key = b64.b64encode(b"0123456789abcdef").decode()
+    s.sendall(
+        (f"GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+         f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+         f"Sec-WebSocket-Version: 13\r\n\r\n").encode()
+    )
+    # read response headers; KEEP any websocket bytes that piggybacked in
+    # the same TCP segment (the meta frame often arrives with the 101)
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += s.recv(4096)
+    head, _, leftover = buf.partition(b"\r\n\r\n")
+    assert b"101" in head.split(b"\r\n")[0]
+    pending = [leftover]
+
+    def recv_frame():
+        def read_exact(k):
+            d = b""
+            while len(pending[0]) and len(d) < k:
+                take = min(k - len(d), len(pending[0]))
+                d += pending[0][:take]
+                pending[0] = pending[0][take:]
+            while len(d) < k:
+                c = s.recv(k - len(d))
+                assert c, "socket closed"
+                d += c
+            return d
+
+        head = read_exact(2)
+        op = head[0] & 0x0F
+        n = head[1] & 0x7F
+        if n == 126:
+            n = st.unpack(">H", read_exact(2))[0]
+        elif n == 127:
+            n = st.unpack(">Q", read_exact(8))[0]
+        return op, read_exact(n) if n else b""
+
+    def send_text(text):
+        payload = text.encode()
+        mask = b"\x01\x02\x03\x04"
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        s.sendall(bytes([0x81, 0x80 | len(payload)]) + mask + masked)
+
+    return s, recv_frame, send_text
+
+
+def test_interactive_viewer_server(results_dir):
+    """The websocket viewer serves the player page, streams meta + binary
+    frame payloads (header|int16 pos|uint8 col|f32 pose), and pushes live
+    updates when new frames appear (viser-fork capability parity)."""
+    import json
+    import struct
+    import urllib.request
+
+    from geo4d_tpu.viz.server import ViewerServer
+
+    srv = ViewerServer(results_dir, port=0).start()
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=10
+        ).read().decode()
+        assert "WebSocket" in html and "webgl" in html.lower()
+
+        s, recv, send = _ws_client(srv.port)
+        op, data = recv()
+        assert op == 0x1
+        meta = json.loads(data)
+        assert meta["type"] == "meta" and meta["n_frames"] == 3
+
+        send(json.dumps({"type": "get", "i": 1}))
+        op, payload = recv()
+        assert op == 0x2
+        idx, n = struct.unpack("<II", payload[:8])
+        assert idx == 1 and n > 0
+        pts = np.frombuffer(payload[8: 8 + n * 6], "<i2").reshape(n, 3)
+        cols = np.frombuffer(payload[8 + n * 6: 8 + n * 9], np.uint8)
+        pose = np.frombuffer(payload[8 + n * 9:], "<f4").reshape(4, 4)
+        assert np.abs(pts).max() <= 32767 and len(cols) == n * 3
+        assert np.allclose(pose[3], [0, 0, 0, 1], atol=1e-5)
+
+        # live update: add a frame, watcher-equivalent reload + broadcast
+        d = np.load(os.path.join(results_dir, "frame_0000.npy"))
+        np.save(os.path.join(results_dir, "frame_0003.npy"), d)
+        np.savetxt(
+            os.path.join(results_dir, "pred_traj.txt"),
+            np.vstack([np.loadtxt(os.path.join(results_dir, "pred_traj.txt")),
+                       [3, 0, 0, 0, 0, 0, 0, 1]]),
+        )
+        K = np.loadtxt(os.path.join(results_dir, "pred_intrinsics.txt"))
+        np.savetxt(os.path.join(results_dir, "pred_intrinsics.txt"),
+                   np.vstack([K, K[-1:]]))
+        srv.store.reload()
+        srv._broadcast({"type": "update",
+                        "n_frames": srv.store.meta()["n_frames"]})
+        op, data = recv()
+        upd = json.loads(data)
+        assert upd["type"] == "update" and upd["n_frames"] == 4
+        s.close()
+    finally:
+        srv.stop()
