@@ -49,6 +49,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_gt_focal", action="store_true")
     p.add_argument("--full_seq", action="store_true")
     p.add_argument("--perframe_ae", action="store_true")  # compat no-op
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random model at 96x64 (pipeline smoke test)")
     return p
 
 
@@ -82,9 +84,19 @@ def main(argv=None):
     from geo4d_tpu.pipeline.export import save_results_dir, save_time_cost
     from geo4d_tpu.pipeline.inference import InferenceConfig, reconstruct
 
-    w, h = DATASET_RESOLUTION[args.dataset]
+    w, h = (96, 64) if args.tiny else DATASET_RESOLUTION[args.dataset]
     postprocess = None
-    if args.config:
+    if args.tiny:
+        import jax
+
+        from geo4d_tpu.models.presets import init_params, tiny
+
+        model = tiny(temporal_length=args.video_length)
+        params = init_params(
+            model, jax.random.PRNGKey(args.seed), (h, w),
+            temporal_length=args.video_length,
+        )
+    elif args.config:
         from geo4d_tpu.cli.common import build_model_from_config
 
         model, params, postprocess = build_model_from_config(
@@ -125,7 +137,8 @@ def main(argv=None):
 
     for seq in seqs:
         sample = load_eval_sequence(
-            args.dataset, args.data_root, seq, max_frames=args.max_frames
+            args.dataset, args.data_root, seq, max_frames=args.max_frames,
+            resolution=(w, h) if args.tiny else None,
         )
         if sample.frames.shape[0] < args.video_length:
             print(f"[eval] skip {seq}: too short")

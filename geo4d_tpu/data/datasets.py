@@ -233,12 +233,16 @@ class EvalSequence:
 
 
 def load_eval_sequence(
-    dataset: str, root: str, seq: str, max_frames: int = -1
+    dataset: str, root: str, seq: str, max_frames: int = -1,
+    resolution: Optional[Tuple[int, int]] = None,
 ) -> EvalSequence:
+    """`resolution` (W, H) overrides the per-dataset table — used by the
+    --tiny smoke path; metric-bearing runs use the table
+    (eval_dataset_geo4d.py:13-26)."""
     from geo4d_tpu.data.video import load_image_dir
 
     spec = DATASETS[dataset]
-    res = DATASET_RESOLUTION[dataset]
+    res = resolution or DATASET_RESOLUTION[dataset]
     frames, _ = load_image_dir(spec.img_dir(root, seq), res, max_frames=max_frames)
     return EvalSequence(
         seq=seq,
