@@ -150,3 +150,28 @@ def test_glb_writer(tmp_path):
 
     magic, version, total = struct.unpack("<III", data[:12])
     assert version == 2 and total == len(data)
+
+
+def test_predict_video_matches_predict_windows(tiny_setup):
+    """The on-device window-gather path must produce exactly what the
+    per-window-stack path does (same chunking -> same RNG stream), and
+    return_device must change only the array type."""
+    model, params, (H, W, T) = tiny_setup
+    cfg = InferenceConfig(window=T, stride=2, ddim_steps=2, window_batch=1)
+    predictor = WindowPredictor(model, params, cfg)
+    frames = np.random.default_rng(3).normal(
+        scale=0.3, size=(T + 4, H, W, 3)
+    ).astype(np.float32)
+    groups = sliding_windows(T + 4, T, 2)
+    text_ctx = np.zeros((1, 77, model.unet.context_dim), np.float32)
+
+    out_w = predictor.predict_windows(frames[groups], text_ctx, fps=24, seed=5)
+    out_v = predictor.predict_video(frames, groups, text_ctx, fps=24, seed=5)
+    out_d = predictor.predict_video(frames, groups, text_ctx, fps=24, seed=5,
+                                    return_device=True)
+    for k in out_w:
+        assert np.allclose(out_w[k], out_v[k], atol=1e-5), k
+        assert np.allclose(out_w[k], np.asarray(out_d[k]), atol=1e-5), k
+    import jax
+
+    assert isinstance(out_d["pts3d"], jax.Array)
