@@ -41,6 +41,11 @@ def __getattr__(name):
         "flagship": ("geo4d_tpu.models.presets", "flagship"),
         "tiny": ("geo4d_tpu.models.presets", "tiny"),
         "init_params": ("geo4d_tpu.models.presets", "init_params"),
+        "WindowPredictor": ("geo4d_tpu.pipeline.inference", "WindowPredictor"),
+        "save_results_dir": ("geo4d_tpu.pipeline.export", "save_results_dir"),
+        "DataModule": ("geo4d_tpu.data.loader", "DataModule"),
+        "ViewerServer": ("geo4d_tpu.viz.server", "ViewerServer"),
+        "init_from_group": ("geo4d_tpu.alignment.init", "init_from_group"),
     }
     if name in lazy:
         import importlib
