@@ -42,6 +42,11 @@ def get_parser():
                         "mesh 'data' axis (ZeRO-style; the reference trained "
                         "with DeepSpeed sharding, infer_geo4d.py:74-78)")
     p.add_argument("--ckpt_every", type=int, default=1000)
+    p.add_argument("--resume", nargs="?", const="auto", default=None,
+                   help="resume from a full-TrainState checkpoint "
+                        "(default: <out_dir>/state_latest). Beyond the "
+                        "reference, which ships no mid-run resume "
+                        "(SURVEY §5)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument(
         "--prompt",
@@ -52,7 +57,8 @@ def get_parser():
 
 
 def npz_stream(data_dir: str, batch_size: int, t: int,
-               world_size: int = 1, rank: int = 0, start_epoch: int = 0):
+               world_size: int = 1, rank: int = 0, start_epoch: int = 0,
+               skip_batches: int = 0):
     """Endless stream of stacked clip batches from .npz shards with the
     reference's epoch-seeded, rank-sharded order (lvdm/data/
     batched_sampler.py:21-69 via geo4d_tpu.data.sampler.epoch_plan):
@@ -73,6 +79,11 @@ def npz_stream(data_dir: str, batch_size: int, t: int,
         plan = epoch_plan(len(files), batch_size, pool_size=1, epoch=epoch,
                           world_size=world_size)
         mine = shard_plan(plan, rank, world_size, batch_size)
+        if skip_batches:
+            # resume fast-forward: drop already-consumed rows of this
+            # epoch's plan WITHOUT loading their files
+            mine = mine[skip_batches * batch_size:]
+            skip_batches = 0
         batch = {k: [] for k in keys + ["fps"]}
         for fi, _feat in mine:
             with np.load(files[fi]) as z:
@@ -160,21 +171,48 @@ def main(argv=None):
     else:
         step_fn = jax.jit(raw_step)
 
+    # ---- resume: restore the FULL TrainState (params + EMA + Adam
+    # moments + step) and fast-forward the deterministic epoch plan ----
+    step0 = 0
+    if args.resume is not None:
+        from geo4d_tpu.models.checkpoint import restore_checkpoint
+
+        resume_path = (
+            os.path.join(args.out_dir, "state_latest")
+            if args.resume == "auto" else args.resume
+        )
+        if os.path.exists(resume_path):
+            state = restore_checkpoint(resume_path, state)
+            step0 = int(np.asarray(state.step))
+            print(f"[train] resumed at step {step0} from {resume_path}")
+        else:
+            print(f"[train] no checkpoint at {resume_path}; starting fresh")
+
     logger = MetricLogger(args.out_dir)
     timer = EpochTimer()
     timer.start()
+    from geo4d_tpu.data.sampler import round_by
+
+    n_shards = len(glob.glob(os.path.join(args.data_dir, "*.npz")))
+    bpe = max(
+        round_by(n_shards, args.batch_size * jax.process_count())
+        // (args.batch_size * jax.process_count()), 1,
+    )
     stream = npz_stream(
         args.data_dir, args.batch_size, args.video_length,
         world_size=jax.process_count(), rank=jax.process_index(),
+        start_epoch=step0 // bpe, skip_batches=step0 % bpe,
     )
-    key = jax.random.PRNGKey(args.seed)
+    # the per-step RNG stream is derived from the step index so a resumed
+    # run draws the same keys the uninterrupted run would
+    base_key = jax.random.PRNGKey(args.seed)
 
-    for i in range(args.steps):
+    for i in range(step0, args.steps):
         raw = next(stream)
         raw = {k: jnp.asarray(v) for k, v in raw.items()}
         if batch_shard is not None:
             raw = {k: jax.device_put(v, batch_shard) for k, v in raw.items()}
-        key, k1, k2 = jax.random.split(key, 3)
+        k1, k2 = jax.random.split(jax.random.fold_in(base_key, i))
         batch = build(frozen, raw, k1)
         state, metrics = step_fn(state, batch, k2)
         timer.step(args.batch_size)
@@ -182,6 +220,7 @@ def main(argv=None):
         if (i + 1) % args.ckpt_every == 0:
             save_checkpoint(os.path.join(args.out_dir, f"ckpt_{i + 1:08d}"),
                             {"unet": state.ema_params})
+            save_checkpoint(os.path.join(args.out_dir, "state_latest"), state)
     stats = timer.finish()
     logger.log(args.steps, stats)
     save_checkpoint(os.path.join(args.out_dir, "ckpt_final"),

@@ -195,3 +195,57 @@ def test_ema_tracks_params(tiny_train):
     d_new = np.abs(ema - new).mean()
     d_old = np.abs(ema - old).mean()
     assert d_new < d_old
+
+
+def test_trainstate_checkpoint_roundtrip(tmp_path):
+    """Full-TrainState save/restore (the --resume path): params, EMA,
+    Adam moments and step survive orbax round trip exactly."""
+    from geo4d_tpu.models.checkpoint import restore_checkpoint, save_checkpoint
+    from geo4d_tpu.training.step import TrainConfig, create_train_state
+
+    params = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones((4,))}
+    state = create_train_state(params, TrainConfig())
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+    path = str(tmp_path / "state_latest")
+    save_checkpoint(path, state)
+
+    template = create_train_state(
+        {"w": jnp.zeros((3, 4)), "b": jnp.zeros((4,))}, TrainConfig()
+    )
+    restored = restore_checkpoint(path, template)
+    assert int(restored.step) == 7
+    assert np.allclose(restored.params["w"], params["w"])
+    assert np.allclose(restored.ema_params["b"], params["b"])
+
+
+def test_npz_stream_resume_fast_forward(tmp_path):
+    """Resuming with (start_epoch, skip_batches) continues the exact
+    deterministic plan an uninterrupted stream would produce."""
+    from geo4d_tpu.cli.train import npz_stream
+    from geo4d_tpu.data.sampler import round_by
+
+    t, hw = 2, 4
+    for i in range(7):
+        np.savez(
+            tmp_path / f"clip_{i}.npz",
+            video=np.full((t, hw, hw, 3), i, np.float32),
+            normed_allpts=np.zeros((t, hw, hw, 3), np.float32),
+            plucker_raymap=np.zeros((t, hw, hw, 3), np.float32),
+            plucker_cross=np.zeros((t, hw, hw, 3), np.float32),
+            inverse_depth=np.zeros((t, hw, hw, 1), np.float32),
+            fps=24,
+        )
+    bs = 2
+    bpe = round_by(7, bs) // bs  # 3 batches per epoch
+
+    def ids(batch):
+        return [int(v[0, 0, 0, 0]) for v in batch["video"]]
+
+    full = npz_stream(str(tmp_path), bs, t)
+    uninterrupted = [ids(next(full)) for _ in range(7)]
+
+    step0 = 4  # resume mid-epoch-1
+    resumed = npz_stream(str(tmp_path), bs, t,
+                         start_epoch=step0 // bpe, skip_batches=step0 % bpe)
+    continued = [ids(next(resumed)) for _ in range(3)]
+    assert continued == uninterrupted[step0: step0 + 3]
