@@ -46,50 +46,113 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Persistent compile cache lives IN THE REPO (gitignored): /tmp does not
+# survive across driver rounds, but the repo checkout does — so the 1.44B-UNet
+# compile (~400-900 s over the remote-device tunnel) is paid once in a build
+# session and every later bench run (incl. the driver's, which has a hard
+# timeout) deserializes instead of recompiling.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 A100_E2E_FRAMES_PER_SEC = 0.81
 H, W, T = 256, 576, 16
 N_FRAMES = 32
 
 
-def build_zero_params(model):
+def _param_shapes(model):
+    """Shape tree of all towers' params, as {tower: [(path, shape, dtype)]}.
+
+    The eval_shape traces of five flax `init` fns cost ~60 s of pure host
+    work on the 1-vCPU bench host, identical every run — so the flattened
+    shape list is cached on disk (keyed by the model config repr + jax
+    version) next to the XLA compile cache."""
+    import hashlib
     import jax
     import jax.numpy as jnp
 
-    from geo4d_tpu.core.dtypes import cast_floating
-
-    def zeros_like_shapes(shapes):
-        return jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes
-        )
+    cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    fingerprint = hashlib.md5(
+        (repr(model) + jax.__version__ + f"{H}x{W}x{T}").encode()
+    ).hexdigest()
+    cache_path = os.path.join(cache_dir, f"bench_shapes_{fingerprint}.json")
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            return json.load(f)
 
     rng = jax.random.PRNGKey(0)
-    params = {}
-    params["unet"] = zeros_like_shapes(jax.eval_shape(
-        lambda k: model.unet.init(
+    towers = {
+        "unet": lambda k: model.unet.init(
             k, jnp.zeros((1, T, H // 8, W // 8, 20), jnp.bfloat16),
             jnp.array([999]), jnp.zeros((1, 77 + T * 16, 1024), jnp.bfloat16),
             jnp.array([24]),
-        ), rng,
-    ))
-    params["vae"] = zeros_like_shapes(jax.eval_shape(
-        lambda k: model.vae.init(k, jnp.zeros((1, H, W, 3))), rng,
-    ))
-    params["pointmap_vae"] = zeros_like_shapes(jax.eval_shape(
-        lambda k: model.pointmap_vae.init(
+        ),
+        "vae": lambda k: model.vae.init(k, jnp.zeros((1, H, W, 3))),
+        "pointmap_vae": lambda k: model.pointmap_vae.init(
             k, jnp.zeros((1, H, W, 3)), method=model.pointmap_vae.init_all
-        ), rng,
-    ))
-    params["clip_img"] = zeros_like_shapes(jax.eval_shape(
-        lambda k: model.image_encoder.init(k, jnp.zeros((1, 224, 224, 3))), rng,
-    ))
-    params["resampler"] = zeros_like_shapes(jax.eval_shape(
-        lambda k: model.resampler.init(k, jnp.zeros((1, T, 257, 1280))), rng,
-    ))
-    return cast_floating(params, jnp.bfloat16)
+        ),
+        "clip_img": lambda k: model.image_encoder.init(
+            k, jnp.zeros((1, 224, 224, 3))
+        ),
+        "resampler": lambda k: model.resampler.init(
+            k, jnp.zeros((1, T, 257, 1280))
+        ),
+    }
+    shapes = {}
+    for name, fn in towers.items():
+        tree = jax.eval_shape(fn, rng)
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        shapes[name] = [
+            (jax.tree_util.keystr(path), list(leaf.shape), str(leaf.dtype))
+            for path, leaf in flat
+        ]
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(cache_path, "w") as f:
+        json.dump(shapes, f)
+    return shapes
+
+
+def build_zero_params(model):
+    """Zero-weight params for every tower, materialized in ONE device call.
+
+    Per-leaf `jnp.zeros` + a separate bf16 cast cost ~2 tunnel round trips
+    x ~2800 leaves (~3 min); a single jitted producer of the whole tree is
+    one dispatch and its (trivial) compile hits the persistent cache."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = _param_shapes(model)
+
+    def rebuild(arrays):
+        """Reassemble {tower: nested dict} from keystr paths like
+        "['params']['down_0']['kernel']" (order matches `shapes`)."""
+        params = {}
+        for tower, entries in shapes.items():
+            tree = {}
+            for (path, _, _), value in zip(entries, arrays[tower]):
+                keys = [p.strip("'\"") for p in
+                        path.replace("]", "").split("[")[1:]]
+                node = tree
+                for k in keys[:-1]:
+                    node = node.setdefault(k, {})
+                node[keys[-1]] = value
+            params[tower] = tree
+        return params
+
+    def make_all():
+        return {
+            tower: [
+                jnp.zeros(shape, jnp.bfloat16
+                          if jnp.issubdtype(jnp.dtype(dtype), jnp.floating)
+                          else dtype)
+                for _, shape, dtype in entries
+            ]
+            for tower, entries in shapes.items()
+        }
+
+    return rebuild(jax.jit(make_all)())
 
 
 def time_diffusion_stage(model, params, icfg):
@@ -234,6 +297,12 @@ def main():
                  "1.44B UNet+4-head decode+Plücker cams] + group align "
                  "init+500 iters+calib, time_cost.txt definition)"),
         "vs_baseline": round(frames_per_sec / A100_E2E_FRAMES_PER_SEC, 2),
+        # the reference publishes no numbers (BASELINE.json published={});
+        # the anchor is the first-principles A100 estimate derived in this
+        # file's docstring, not a measurement — treat vs_baseline as ±30%
+        "baseline_kind": "estimate",
+        "baseline_frames_per_sec": A100_E2E_FRAMES_PER_SEC,
+        "baseline_uncertainty": "+/-30% (no published reference numbers)",
     }
     print(json.dumps(result))
     print(

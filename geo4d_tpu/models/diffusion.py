@@ -210,11 +210,14 @@ class GeoDiffusion:
         context: jax.Array,    # (B, 77 + T*16, 1024)
         c_concat: jax.Array,   # (B, T, h, w, 4) video latents
         fs: Optional[jax.Array] = None,
+        task: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Hybrid conditioning: channel-concat video latent + cross-attn
-        context (DiffusionWrapper 'hybrid', ddpm3d.py:2540-2544)."""
+        context (DiffusionWrapper 'hybrid', ddpm3d.py:2540-2544; the
+        'hybrid_task' key additionally routes per-batch task ids,
+        ddpm3d.py:2545-2549)."""
         xc = jnp.concatenate([x, c_concat], axis=-1)
-        return self.unet.apply(params["unet"], xc, t, context, fs)
+        return self.unet.apply(params["unet"], xc, t, context, fs, task=task)
 
     def sample_window(
         self,

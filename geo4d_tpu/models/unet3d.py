@@ -158,6 +158,7 @@ class UNet3D(nn.Module):
     addition_attention: bool = True
     image_cross_attention: bool = True
     fs_condition: bool = True
+    task_condition: bool = False  # pc_task modality (ref openaimodel3d.py:385-392)
     default_fs: int = 24
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
@@ -193,6 +194,7 @@ class UNet3D(nn.Module):
         context: jax.Array,      # (B, 77 + T*16, ctx) or (B, L, ctx)
         fs: Optional[jax.Array] = None,  # (B,) int
         deterministic: bool = True,
+        task: Optional[jax.Array] = None,  # (B,) int task ids (pc_task)
     ) -> jax.Array:
         b, t, hgt, wid, _ = x.shape
         mc = self.model_channels
@@ -215,6 +217,17 @@ class UNet3D(nn.Module):
                 time_embed_dim, zero_out=True, dtype=self.dtype, name="fps_embedding"
             )(fs_emb)
             emb = emb + jnp.repeat(fs_embed, t, axis=0)
+
+        if self.task_condition:
+            # task ids are small integers => max_period=100 sinusoid
+            # (ref openaimodel3d.py:604-605); zero-init tail = no-op at init
+            assert task is not None, "task_condition=True requires task ids"
+            task_emb = timestep_embedding(task, mc, max_period=100.0)
+            task_embed = TimeEmbedMLP(
+                time_embed_dim, zero_out=True, dtype=self.dtype,
+                name="task_embedding",
+            )(task_emb)
+            emb = emb + jnp.repeat(task_embed, t, axis=0)
 
         # ---- per-frame context: split [text(77) | T*16 image tokens] ----
         l_ctx = context.shape[1]

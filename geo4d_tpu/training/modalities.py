@@ -1,8 +1,10 @@
 """Modality batch builders: raw geometry -> diffusion training batches.
 
 Parity target: reference lvdm/models/ddpm3d.py `shared_step` modality
-dispatch (:1357-1384) over rgb/pc/pc_ray/pc_ray_cross_depth/... and the
-shipped `get_batch_input_pc_ray_cross_depth` (:1661-1768):
+dispatch (:1357-1384) — ALL TEN branches: rgb, pc, pc_ray,
+pc_ray_cross_depth (:1661), pc_task (:1367 + :1458 return_task), img_vidpc
+(:2255), multipc (:2011), multipc_dynamic (:2130), novelview (:1883),
+multimodality (:1772). The shipped `get_batch_input_pc_ray_cross_depth`:
   z0 = [pointmap(4) | raymap(4) | crossmap(4) | invdepth(4)] VAE latents,
   c_concat = video latent, context = [prompt | per-frame image tokens],
   classifier-free dropout: u < 2p drops TEXT (null prompt), p <= u < 3p
@@ -191,13 +193,153 @@ def build_batch_img_vidpc(
     }
 
 
+def build_batch_pc_task(
+    model, params, batch, key, prompt_emb, null_prompt_emb,
+    uncond_prob: float = 0.05, random_uncond: bool = True,
+) -> Dict[str, jax.Array]:
+    """pc modality + per-batch integer task ids (ddpm3d.py:1367-1369:
+    pc_task = get_batch_input_pc(return_task=True), the task tensor routed
+    to the UNet's task embedding via the 'hybrid_task' conditioning key,
+    :2545-2549). batch additionally carries 'task' (B,) int."""
+    out = build_batch_pc(
+        model, params, batch, key, prompt_emb, null_prompt_emb,
+        uncond_prob, random_uncond,
+    )
+    out["task"] = batch["task"].astype(jnp.int32)
+    return out
+
+
+def build_batch_multimodality(
+    model, params, batch, key, prompt_emb, null_prompt_emb,
+    uncond_prob: float = 0.05, random_uncond: bool = True,
+) -> Dict[str, jax.Array]:
+    """16-ch multi-task geometry modality (ddpm3d.py:1772-1882):
+    z0 = [pointmap | normal map | optical flow | object coordinates]
+    latents, each VAE-encoded from its own 3-ch map; c_concat = video
+    latent; conditioning from the full video.
+
+    batch keys: normed_allpts, normalmap, opticalflow, objectcoordinate
+    (the reference spells the batch key 'objectcooridnate' —
+    ddpm3d.py:1789 — accepted as an alias), video (B,T,H,W,3); fps (B,).
+    """
+    keys = jax.random.split(key, 6)
+    obj = batch.get("objectcoordinate", batch.get("objectcooridnate"))
+    z_pc = _encode(model, params, batch["normed_allpts"], keys[0])
+    z_normal = _encode(model, params, batch["normalmap"], keys[1])
+    z_flow = _encode(model, params, batch["opticalflow"], keys[2])
+    z_obj = _encode(model, params, obj, keys[3])
+    z_video = _encode(model, params, batch["video"], keys[4])
+    context = _conditioning(
+        model, params, batch["video"], prompt_emb, null_prompt_emb,
+        keys[5], uncond_prob, random_uncond,
+    )
+    return {
+        "z0": jnp.concatenate([z_pc, z_normal, z_flow, z_obj], axis=-1),
+        "c_concat": z_video,
+        "context": context,
+        "fs": batch["fps"],
+    }
+
+
+def build_batch_novelview(
+    model, params, batch, key, prompt_emb, null_prompt_emb,
+    uncond_prob: float = 0.05, random_uncond: bool = True,
+    temporal_length: int = 16,
+) -> Dict[str, jax.Array]:
+    """8-ch novel-view modality (ddpm3d.py:1883-2010): multi-view clips are
+    stacked along time as V views x temporal_length frames. The model
+    denoises the LAST view's [pointmap latent | video latent] conditioned
+    on the FIRST view's video latent channel-concatenated with the last
+    view's Plücker raymap (the target-camera spec), and CLIP conditioning
+    from the first view's frames.
+
+    batch keys: normed_allpts (B, V*T, H, W, 3) all-view points,
+    video (B, V*T, H, W, 3) all-view frames,
+    plucker_raymap_all (B, V*T, h, w, C) raymaps at LATENT resolution
+    (concatenated raw onto c_concat, ddpm3d.py:1988 '4 + 7 = 11'); fps (B,).
+    """
+    t = temporal_length
+    keys = jax.random.split(key, 3)
+    z_allview = _encode(model, params, batch["normed_allpts"], keys[0])
+    z_video_allview = _encode(model, params, batch["video"], keys[1])
+
+    z = z_allview[:, -t:]                      # last view's geometry latent
+    z_video = z_video_allview[:, :t]           # first view's video latent
+    z_video_otherview = z_video_allview[:, -t:]  # last view's video latent
+    raymap_last = batch["plucker_raymap_all"][:, -t:]
+
+    x_video = batch["video"][:, :t]
+    context = _conditioning(
+        model, params, x_video, prompt_emb, null_prompt_emb,
+        keys[2], uncond_prob, random_uncond,
+    )
+    c_concat = jnp.concatenate(
+        [z_video, raymap_last.astype(z_video.dtype)], axis=-1
+    )
+    return {
+        "z0": jnp.concatenate([z, z_video_otherview], axis=-1),
+        "c_concat": c_concat,
+        "context": context,
+        "fs": batch["fps"],
+    }
+
+
+def build_batch_multipc_dynamic(
+    model, params, batch, key, prompt_emb, null_prompt_emb,
+    uncond_prob: float = 0.05, random_uncond: bool = True,
+    temporal_length: int = 16,
+) -> Dict[str, jax.Array]:
+    """Multi-view pointmaps + dynamic-mask modality (ddpm3d.py:2130-2254):
+    V views stacked along time. z0 = [all views' pointmap latents (V*4) |
+    all views' dynamic-mask latents (V*4) | other views' video latents
+    ((V-1)*4)]; c_concat = first view's video latent; CLIP conditioning
+    from the first view's frames.
+
+    batch keys: normed_allpts, dynamic_mask, video — all (B, V*T, H, W, 3);
+    fps (B,). With V=2 this is the 20-ch dynamic two-view task.
+    """
+    t = temporal_length
+    keys = jax.random.split(key, 4)
+    b, vt = batch["video"].shape[:2]
+    v = vt // t
+
+    def split_cat(z):  # (B, V*T, h, w, 4) -> (B, T, h, w, V*4)
+        zs = [z[:, i * t : (i + 1) * t] for i in range(v)]
+        return jnp.concatenate(zs, axis=-1)
+
+    z_all = _encode(model, params, batch["normed_allpts"], keys[0])
+    z_mask = _encode(model, params, batch["dynamic_mask"], keys[1])
+    z_video_all = _encode(model, params, batch["video"], keys[2])
+
+    z = split_cat(z_all)
+    z_dyn = split_cat(z_mask)
+    z_video = z_video_all[:, :t]
+    z_other = jnp.concatenate(
+        [z_video_all[:, i * t : (i + 1) * t] for i in range(1, v)], axis=-1
+    )
+    context = _conditioning(
+        model, params, batch["video"][:, :t], prompt_emb, null_prompt_emb,
+        keys[3], uncond_prob, random_uncond,
+    )
+    return {
+        "z0": jnp.concatenate([z, z_dyn, z_other], axis=-1),
+        "c_concat": z_video,
+        "context": context,
+        "fs": batch["fps"],
+    }
+
+
 MODALITY_BUILDERS = {
     "pc_ray_cross_depth": build_batch_pc_ray_cross_depth,
     "pc_ray": build_batch_pc_ray,
     "pc": build_batch_pc,
+    "pc_task": build_batch_pc_task,
     "rgb": build_batch_rgb,
     "multipc": build_batch_multipc,
+    "multipc_dynamic": build_batch_multipc_dynamic,
     "img_vidpc": build_batch_img_vidpc,
+    "novelview": build_batch_novelview,
+    "multimodality": build_batch_multimodality,
 }
 
 

@@ -135,7 +135,13 @@ def diffusion_loss(
     v_target = sa_t * noise - sb_t * z0
 
     x_in = jnp.concatenate([x_noisy, batch["c_concat"]], axis=-1)
-    pred = unet_apply(params, x_in, timesteps, batch["context"], batch["fs"])
+    if batch.get("task") is not None:
+        # pc_task modality (ddpm3d.py:1367-1369 'hybrid_task' routing):
+        # requires a task-aware unet_apply (UNet3D task_condition=True)
+        pred = unet_apply(params, x_in, timesteps, batch["context"],
+                          batch["fs"], task=batch["task"])
+    else:
+        pred = unet_apply(params, x_in, timesteps, batch["context"], batch["fs"])
     loss = jnp.mean((pred - v_target) ** 2)
     return loss, {"loss_simple": loss, "t_mean": jnp.mean(ts.astype(jnp.float32))}
 

@@ -55,7 +55,8 @@ void raster_depth(const float* verts, int64_t n_verts,
 
     for (int64_t f = 0; f < n_faces; ++f) {
         int32_t a = faces[f * 3], b = faces[f * 3 + 1], c = faces[f * 3 + 2];
-        if (a >= n_verts || b >= n_verts || c >= n_verts) continue;
+        if (a < 0 || b < 0 || c < 0 ||
+            a >= n_verts || b >= n_verts || c >= n_verts) continue;
         // skip triangles with any vertex behind the camera (clipping the
         // general case is unnecessary for closed indoor scan meshes)
         if (iz[a] <= 0 || iz[b] <= 0 || iz[c] <= 0) continue;

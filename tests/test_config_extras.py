@@ -11,6 +11,8 @@ import jax.numpy as jnp
 from geo4d_tpu.core.registry import build_from_yaml, _register_all
 from geo4d_tpu.core.config import components, instantiate
 
+pytestmark = pytest.mark.smoke  # CPU-light fast tier
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -21,6 +21,8 @@ from geo4d_tpu.models.convert import (
     vae_torch_key,
 )
 
+pytestmark = pytest.mark.smoke  # CPU-light fast tier
+
 
 def pseudo_torch_sd(flax_params, key_fn, rng):
     """Random torch-layout state dict covering every flax leaf."""

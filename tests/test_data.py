@@ -11,6 +11,8 @@ from geo4d_tpu.data.datasets import (
     DATASET_RESOLUTION,
     SINTEL_POSE_SEQS,
 )
+
+pytestmark = pytest.mark.smoke  # CPU-light fast tier
 from geo4d_tpu.data.tokenizer import CLIPTokenizer, VOCAB_SIZE
 from geo4d_tpu.data.video import (
     _load_native,

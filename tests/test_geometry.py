@@ -35,6 +35,8 @@ from geo4d_tpu.geometry.se3 import (
 )
 from geo4d_tpu.geometry.utils import depthmap_to_pts3d, make_intrinsics, geotrf, inv_se3
 
+pytestmark = pytest.mark.smoke  # CPU-light fast tier
+
 
 def random_rotation(rng):
     A = rng.normal(size=(3, 3))

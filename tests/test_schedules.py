@@ -13,6 +13,8 @@ from geo4d_tpu.core.schedules import (
     rescale_zero_terminal_snr,
 )
 
+pytestmark = pytest.mark.smoke  # CPU-light fast tier
+
 
 def test_linear_beta_schedule_endpoints():
     betas = make_beta_schedule("linear", 1000, 0.00085, 0.012)

@@ -64,6 +64,75 @@ def test_modality_builder_shapes(tiny_train):
     assert out8["z0"].shape == (B, T, H // 8, W // 8, 8)
 
 
+def test_modality_builder_shapes_extended(tiny_train):
+    """The four round-3 builders: pc_task (ddpm3d.py:1367), multimodality
+    (:1772), novelview (:1883), multipc_dynamic (:2130)."""
+    model, params, (H, W, T) = tiny_train
+    rng = np.random.default_rng(0)
+    B, V = 2, 2
+    h, w = H // 8, W // 8
+    ctx_dim = model.unet.context_dim
+    prompt = jnp.zeros((B, 77, ctx_dim))
+    null_p = jnp.zeros((1, 77, ctx_dim))
+    key = jax.random.PRNGKey(1)
+
+    def run(modality, batch):
+        return jax.jit(
+            lambda p, b, k: build_batch(modality, model, p, b, k, prompt, null_p)
+        )(params, batch, key)
+
+    vid = jnp.asarray(rng.normal(size=(B, T, H, W, 3)), jnp.float32)
+    fps = jnp.full((B,), 24, jnp.int32)
+
+    # pc_task: pc builder + integer task ids routed through the batch
+    out = run("pc_task", {
+        "normed_allpts": vid, "video": vid, "fps": fps,
+        "task": jnp.array([0, 3]),
+    })
+    assert out["z0"].shape == (B, T, h, w, 4)
+    assert out["task"].shape == (B,) and out["task"].dtype == jnp.int32
+
+    # multimodality: [pc | normal | flow | objcoord] -> 16ch; accepts the
+    # reference's misspelled 'objectcooridnate' batch key (ddpm3d.py:1789)
+    out = run("multimodality", {
+        "normed_allpts": vid, "normalmap": vid, "opticalflow": vid,
+        "objectcooridnate": vid, "video": vid, "fps": fps,
+    })
+    assert out["z0"].shape == (B, T, h, w, 16)
+    assert out["c_concat"].shape == (B, T, h, w, 4)
+
+    # novelview: V views stacked along time; z0 = [last-view pc | last-view
+    # video] = 8ch, c_concat = [first-view video latent | last-view raymap]
+    # = 4 + 7 = 11ch (ddpm3d.py:1988)
+    vid2 = jnp.asarray(rng.normal(size=(B, V * T, H, W, 3)), jnp.float32)
+    raymap_all = jnp.asarray(rng.normal(size=(B, V * T, h, w, 7)), jnp.float32)
+    out = jax.jit(
+        lambda p, b, k: build_batch(
+            "novelview", model, p, b, k, prompt, null_p, temporal_length=T
+        )
+    )(params, {
+        "normed_allpts": vid2, "video": vid2,
+        "plucker_raymap_all": raymap_all, "fps": fps,
+    }, key)
+    assert out["z0"].shape == (B, T, h, w, 8)
+    assert out["c_concat"].shape == (B, T, h, w, 11)
+    assert out["context"].shape == (B, 77 + T * 16, ctx_dim)
+
+    # multipc_dynamic (V=2): z0 = [2x pc | 2x dynmask | 1x other-view video]
+    # = 20ch, c_concat = first-view video latent (ddpm3d.py:2237)
+    out = jax.jit(
+        lambda p, b, k: build_batch(
+            "multipc_dynamic", model, p, b, k, prompt, null_p,
+            temporal_length=T,
+        )
+    )(params, {
+        "normed_allpts": vid2, "dynamic_mask": vid2, "video": vid2,
+        "fps": fps,
+    }, key)
+    assert out["z0"].shape == (B, T, h, w, V * 4 + V * 4 + (V - 1) * 4)
+    assert out["c_concat"].shape == (B, T, h, w, 4)
+
+
 def test_train_step_decreases_loss(tiny_train):
     model, params, (H, W, T) = tiny_train
     cfg = TrainConfig(learning_rate=1e-3, temporal_length=T)

@@ -90,3 +90,48 @@ def test_jit_compiles(unet_setup):
     f = jax.jit(lambda p, x, t, c, fs: unet.apply(p, x, t, c, fs))
     y = f(params, x, ts, ctx, fs)
     assert y.shape == (1, 4, 8, 16, 16)
+
+
+def test_task_embedding():
+    """pc_task conditioning (ref openaimodel3d.py:385-392,604-605): a
+    zero-init task-embedding MLP is a no-op at init; perturbing its hidden
+    kernel makes the output depend on the task id."""
+    unet = tiny_unet(task_condition=True)
+    b, t, h, w = 1, 4, 8, 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, t, h, w, 20)), jnp.float32)
+    ts = jnp.array([500])
+    ctx = jnp.asarray(rng.normal(size=(b, 77 + t * 16, 24)), jnp.float32)
+    fs = jnp.array([24])
+    params = jax.jit(
+        lambda k: unet.init(k, x, ts, ctx, fs, task=jnp.array([0]))
+    )(jax.random.PRNGKey(0))
+    apply = jax.jit(
+        lambda p, task: unet.apply(p, x, ts, ctx, fs, task=task)
+    )
+
+    # perturb everything EXCEPT the task MLP: kills the zero-init out conv
+    # (otherwise the output is identically 0 and proves nothing) while
+    # keeping the task tail zero-init
+    rng2 = np.random.default_rng(2)
+
+    def bump_others(path, p):
+        if "task_embedding" in str(path):
+            return p
+        return p + 0.01 * rng2.normal(size=p.shape).astype(p.dtype)
+
+    params1 = jax.tree_util.tree_map_with_path(bump_others, params)
+    y0 = apply(params1, jnp.array([0]))
+    y3 = apply(params1, jnp.array([3]))
+    assert np.abs(np.asarray(y0)).max() > 1e-6  # non-degenerate
+    # zero-init tail => task id cannot influence the output at init
+    assert np.allclose(np.asarray(y0), np.asarray(y3))
+
+    # make the embedding live: perturb the task_embedding leaves too
+    def bump_task(path, p):
+        return p + 0.05 if "task_embedding" in str(path) else p
+
+    params2 = jax.tree_util.tree_map_with_path(bump_task, params1)
+    z0 = apply(params2, jnp.array([0]))
+    z3 = apply(params2, jnp.array([3]))
+    assert not np.allclose(np.asarray(z0), np.asarray(z3))

@@ -13,6 +13,8 @@ from geo4d_tpu.pipeline.export import (
 )
 from geo4d_tpu.viz.visualizer import export_html, load_results_dir
 
+pytestmark = pytest.mark.smoke  # CPU-light fast tier
+
 
 @pytest.fixture
 def results_dir(tmp_path):

@@ -13,6 +13,8 @@ from geo4d_tpu.geometry.warp import (
     warp_image,
 )
 
+pytestmark = pytest.mark.smoke  # CPU-light fast tier
+
 
 def test_bilinear_sample_identity():
     img = jnp.asarray(np.random.default_rng(0).normal(size=(8, 10, 3)), jnp.float32)
