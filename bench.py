@@ -258,8 +258,12 @@ def time_alignment_stage(groups, acfg):
             invdepth=invd_dev, trajs=trajs_dev, config=acfg,
         )
         init_from_group(al, preds_dev, conf_dev)
+        t_init = time.time() - t0
         al.run()
-        return time.time() - t0
+        total = time.time() - t0
+        print(f"#   align breakdown: ctor+init {t_init:.1f}s, "
+              f"run {total - t_init:.1f}s", file=sys.stderr)
+        return total
 
     warm_s = once(0)
     # best-of-2: the tunnel to the remote chip is shared infrastructure
@@ -273,8 +277,12 @@ def main():
     from geo4d_tpu.pipeline.inference import InferenceConfig
 
     model = GeoDiffusion()
-    icfg = InferenceConfig(window_batch=1, sky_eps=0.1)
-    acfg = AlignerConfig(n_iter=500)
+    # window_batch=5: all 5 windows in ONE device launch (UNet batch 80
+    # frames; decode/encode chunk per-window in-jit via lax.map)
+    icfg = InferenceConfig(window_batch=5, sky_eps=0.1)
+    # bucket_groups=1: the bench shape is fixed at G=5 — the default
+    # bucket of 4 would pad to Gp=8 and waste 37% of every loss iter
+    acfg = AlignerConfig(n_iter=500, bucket_groups=1)
 
     t0 = time.time()
     params = build_zero_params(model)

@@ -116,6 +116,21 @@ def _rel_pose_loss(RT1, RT2, translation_weight):
     return rot + translation_weight * trans
 
 
+def _gather_frames(consts, arr):
+    """Select per-window-slot frame rows: (Np, ...) -> (Gp*S, ...).
+
+    Expressed as a one-hot (Gp*S, Np) f32 matmul rather than `arr[e_all]`:
+    the backward of a leading-axis gather is a scatter-add with repeated
+    indices (stride-4 windows reference each frame up to 4x) which
+    XLA:TPU serializes; as a matmul both directions run on the MXU.
+    Precision HIGHEST keeps the selection exact to f32.
+    """
+    eh = consts["e_onehot"]
+    flat = arr.reshape(arr.shape[0], -1)
+    out = jax.lax.dot(eh, flat, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(eh.shape[0], *arr.shape[1:])
+
+
 def _focals(params, cfg: AlignerConfig, n: int) -> jnp.ndarray:
     f = jnp.exp(params["focal"] / cfg.focal_break)
     if cfg.shared_focal:
@@ -179,7 +194,7 @@ def _alignment_loss(
     w = consts["weights"]
     if cfg.conf_optimize:
         w = jnp.minimum(w, cfg.conf_clamp)
-    proj_e = proj[consts["e_all"]].reshape(G, S, P, 3)
+    proj_e = _gather_frames(consts, proj).reshape(G, S, P, 3)
     li = jnp.sum(_safe_norm(proj_e - aligned) * w) / total_area
 
     depth_loss = 0.0
@@ -187,7 +202,7 @@ def _alignment_loss(
     if use_depth_traj and has_depth:
         depth = jnp.exp(params["log_depth"])
         inv_pred = 1.0 / (depth + 1e-6)
-        inv_pred_e = inv_pred[consts["e_all"]].reshape(G, S, P)
+        inv_pred_e = _gather_frames(consts, inv_pred).reshape(G, S, P)
         dmask = (consts["invdepth"] > cfg.invdepth_valid_thr).astype(jnp.float32)
         dmask = dmask * consts["valid_depth_group"][:, None, None]
         scaled = (
@@ -416,6 +431,12 @@ class GroupAligner:
                 jnp.asarray(weights).reshape(self.G, self.S, self.P)
             ),
             "e_all": jnp.asarray(groups_pad.reshape(-1)),
+            # one-hot frame-selection matrix for `_gather_frames` (the
+            # MXU-matmul replacement for gather/scatter-add in the loss)
+            "e_onehot": jnp.asarray(
+                (groups_pad.reshape(-1)[:, None]
+                 == np.arange(self.Np)[None, :]).astype(np.float32)
+            ),
         }
         self.has_depth = invdepth is not None
         self.has_traj = trajs is not None

@@ -82,6 +82,26 @@ class GeoDiffusion:
         """4-ch latents -> 3-ch frames through the RGB VAE decoder."""
         return self._decode(self.vae, params["vae"], z, self.vae.decode)
 
+    def encode_first_stage_chunked(
+        self, params, frames: jax.Array, key: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """`encode_first_stage` with the window axis chunked via `lax.map`.
+
+        For a batched-window launch (B windows x T frames) the flat
+        (B*T)-frame encode would hold multi-GB full-res encoder activations;
+        mapping over windows caps peak HBM at one window's working set with
+        identical results (the per-window noise keys are split identically).
+        """
+        b = frames.shape[0]
+        if b == 1 or key is None:
+            return self.encode_first_stage(params, frames, key)
+        keys = jax.random.split(key, b)
+        z = jax.lax.map(
+            lambda fk: self.encode_first_stage(params, fk[0][None], fk[1]),
+            (frames, keys),
+        )
+        return z.reshape(b, *z.shape[2:])
+
     def decode_pointmap_conf(self, params, z: jax.Array) -> jax.Array:
         """4-ch pointmap latents -> (…, 4) = [xyz | confidence].
 
@@ -104,17 +124,34 @@ class GeoDiffusion:
         [0:4] pointmap (conf decode), [4:8] raymap, [8:12] crossmap,
         [12:16] inverse depth (3-ch decode then channel-mean).
 
-        TPU note: the heads decode sequentially (not as one 3x batch) —
-        full-res decoder activations for 16 frames are HBM-heavy; sequential
-        decodes keep peak memory at one head's working set while each
-        individual decode still batches all frames through the MXU.
+        TPU restructure: the three RGB-VAE heads (ray/cross/depth) share
+        weights, so they decode as ONE 3x-frames batch — one kernel stream
+        through the decoder instead of three, better MXU occupancy at the
+        full-res tail. The pointmap head keeps its own call (different
+        weights: fine-tuned VAE + conf adaptor). When multiple windows are
+        batched (B > 1) the window axis is chunked with `lax.map` so peak
+        HBM stays at one window's full-res working set (3x16 + 16 frames)
+        while the UNet upstream still sees the whole window batch.
         """
-        pc = self.decode_pointmap_conf(params, samples[..., 0:4])
-        ray = self.decode_first_stage(params, samples[..., 4:8])
-        cross = self.decode_first_stage(params, samples[..., 8:12])
-        depth3 = self.decode_first_stage(params, samples[..., 12:16])
-        depth = jnp.mean(depth3, axis=-1, keepdims=True)
-        return {"pointmap_conf": pc, "raymap": ray, "crossmap": cross, "inv_depth": depth}
+        b = samples.shape[0]
+
+        def one_window(s):  # s: (1, T, h, w, 16)
+            pc = self.decode_pointmap_conf(params, s[..., 0:4])
+            rgb3 = jnp.concatenate(
+                [s[..., 4:8], s[..., 8:12], s[..., 12:16]], axis=0
+            )                                             # (3, T, h, w, 4)
+            dec3 = self.decode_first_stage(params, rgb3)  # (3, T, H, W, 3)
+            ray, cross, depth3 = dec3[0:1], dec3[1:2], dec3[2:3]
+            depth = jnp.mean(depth3, axis=-1, keepdims=True)
+            return {"pointmap_conf": pc, "raymap": ray, "crossmap": cross,
+                    "inv_depth": depth}
+
+        if b == 1:
+            return one_window(samples)
+        out = jax.lax.map(lambda s: one_window(s[None]), samples)
+        # lax.map adds a leading axis over windows; each leaf is
+        # (B, 1, T, H, W, C) -> (B, T, H, W, C)
+        return {k: v.reshape(b, *v.shape[2:]) for k, v in out.items()}
 
     def decode_modality(self, params, samples: jax.Array,
                         modality: Optional[str] = None) -> Dict[str, jax.Array]:

@@ -106,7 +106,10 @@ def flash_attention(q, k, v) -> Optional[jax.Array]:
     if d % 64 != 0 or nk > 4096 or nk % 128 != 0:
         return None
     q_block = 0
-    for cand in (1024, 512, 256, 128):
+    # multiples of 128 only (sublane-aligned at bf16); non-power-of-two
+    # candidates matter: 576x256 latents give nq = 2304 = 3*768, which a
+    # power-of-two-only ladder would tile at 256 (3x more grid steps)
+    for cand in (1024, 768, 512, 384, 256, 128):
         if nq % cand == 0:
             q_block = cand
             break

@@ -100,7 +100,7 @@ class WindowPredictor:
             bcast = lambda c: jnp.broadcast_to(c, (b, *c.shape[1:]))
             ctx = jnp.concatenate([bcast(text_ctx), img_ctx], axis=1)
             key_enc, key_samp = jax.random.split(key)
-            z_video = model.encode_first_stage(params, frames, key_enc)
+            z_video = model.encode_first_stage_chunked(params, frames, key_enc)
 
             # CFG branches (test_geo4d.py:172-199): uncond = empty-prompt
             # text + zero-image; the multi-cond middle branch = empty-prompt
