@@ -52,10 +52,13 @@ sys.path.insert(0, _REPO)
 # survive across driver rounds, but the repo checkout does — so the 1.44B-UNet
 # compile (~400-900 s over the remote-device tunnel) is paid once in a build
 # session and every later bench run (incl. the driver's, which has a hard
-# timeout) deserializes instead of recompiling.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# timeout) deserializes instead of recompiling.  Must go through
+# core.cache (jax.config.update), NOT env vars: the host's sitecustomize
+# imports jax at interpreter startup, freezing env-derived config before
+# this file runs.
+from geo4d_tpu.core.cache import enable_persistent_compile_cache
+
+CACHE_DIR = enable_persistent_compile_cache(os.path.join(_REPO, ".jax_cache"))
 
 A100_E2E_FRAMES_PER_SEC = 0.81
 H, W, T = 256, 576, 16
@@ -73,7 +76,7 @@ def _param_shapes(model):
     import jax
     import jax.numpy as jnp
 
-    cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    cache_dir = CACHE_DIR
     fingerprint = hashlib.md5(
         (repr(model) + jax.__version__ + f"{H}x{W}x{T}").encode()
     ).hexdigest()

@@ -163,6 +163,17 @@ def _init_from_group_device(
     later window overwrites a frame; here one PnP pass runs over the FINAL
     placements (the reference's retained result is also the final visit's).
     """
+    import os
+    import sys
+    import time
+
+    profile = bool(os.environ.get("GEO4D_PROFILE_INIT"))
+    marks = [("start", time.time())]
+
+    def mark(label):
+        if profile:
+            marks.append((label, time.time()))
+
     cfg = aligner.cfg
     groups = aligner.groups
     G, S = groups.shape
@@ -191,6 +202,7 @@ def _init_from_group_device(
     mean_focal = focal[good].mean() if good.any() else float(max(H, W))
     rel_err = np.abs(focal - mean_focal) / (mean_focal + 1e-12)
     focal_group = np.where(rel_err > 0.6, mean_focal, focal)
+    mark("focal")
 
     # ---- sequential window registration, all on device ----
     pts_acc = jnp.zeros((N, P, 3), jnp.float32)
@@ -206,6 +218,8 @@ def _init_from_group_device(
             jnp.asarray(groups[g]),
         )
 
+    mark("register")
+
     # ---- host PnP on the subsampled final placements ----
     sub = np.asarray(
         pts_acc.reshape(N, H, W, 3)[:, ::pnp_stride, ::pnp_stride]
@@ -213,6 +227,7 @@ def _init_from_group_device(
     sub_conf = np.asarray(
         conf_acc.reshape(N, H, W)[:, ::pnp_stride, ::pnp_stride]
     )
+    mark("fetch")
     im_poses = np.tile(np.eye(4), (N, 1, 1))
     im_focals: List[Optional[float]] = [None] * N
     window_start = {int(groups[g, 0]): g for g in range(G)}
@@ -252,6 +267,8 @@ def _init_from_group_device(
             elif verbose:
                 print(f"[init] PnP failed for frame {i}; identity fallback")
 
+    mark("pnp")
+
     # ---- per-window sim3 + global scale normalization ----
     s_all, R_all, t_all = _pw_sim3_batched_dev(
         pred_flat, pts_acc, conf_flat, conf_acc, jnp.asarray(groups)
@@ -283,6 +300,15 @@ def _init_from_group_device(
             np.float32,
         )
         aligner.params["focal"] = jnp.asarray(cfg.focal_break * np.log(f))
+
+    mark("sim3+depth+write")
+    if profile:
+        total = marks[-1][1] - marks[0][1]
+        parts = " ".join(
+            f"{label} {t1 - t0:.2f}s"
+            for (_, t0), (label, t1) in zip(marks, marks[1:])
+        )
+        print(f"[init profile] total {total:.2f}s: {parts}", file=sys.stderr)
 
     if verbose:
         init_loss = float(aligner.loss_fn(aligner.params, False))

@@ -35,7 +35,12 @@ def build_model_and_params(
     given (infer_geo4d.py:53-80 + :330-347 loading semantics), else random."""
     import jax
 
+    from geo4d_tpu.core.cache import enable_persistent_compile_cache
     from geo4d_tpu.models.presets import flagship, init_params
+
+    # restarted CLI runs deserialize the multi-minute UNet/aligner compiles
+    # instead of repaying them (no-op if the user already configured a dir)
+    enable_persistent_compile_cache()
 
     model = flagship()
     params = init_params(model, jax.random.PRNGKey(seed), image_size)

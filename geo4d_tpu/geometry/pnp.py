@@ -102,11 +102,20 @@ def fast_pnp(
     pp: Optional[Tuple[float, float]] = None,
     niter: int = 10,
     reproj_err: float = 5.0,
+    max_points: int = 4096,
 ) -> Optional[Tuple[float, np.ndarray]]:
     """Frame pose from a masked point map with focal sweep.
 
     Returns (focal, cam_to_world 4x4) or None. Sweep matches the reference:
     unknown focal -> geomspace(S/2, 3S, 63); known -> {f, f±3%S}.
+
+    Deliberate divergence: the reference feeds every masked pixel (tens of
+    thousands) into each RANSAC solve (init_im_poses.py:846-859); here a
+    seeded uniform subsample caps correspondences at `max_points` — RANSAC
+    pose quality saturates orders of magnitude below that, the focal-sweep
+    inlier comparison stays consistent across candidates, and the final
+    500-iter optimizer refines poses regardless. On a 1-vCPU host this cuts
+    the dominant per-frame init cost several-fold.
     """
     if mask.sum() < 4:
         return None
@@ -129,6 +138,11 @@ def fast_pnp(
 
     p3 = pts3d[mask]
     p2 = pixels[mask]
+    if max_points and p3.shape[0] > max_points:
+        sel = np.random.default_rng(0).choice(
+            p3.shape[0], max_points, replace=False
+        )
+        p3, p2 = p3[sel], p2[sel]
     best_score, best = 0, None
     for f in tentative:
         K = np.array([[f, 0, pp[0]], [0, f, pp[1]], [0, 0, 1]], dtype=np.float32)

@@ -14,10 +14,17 @@ if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 import jax  # noqa: E402  (import after env is set)
+
+# config.update, not env vars: the host sitecustomize imports jax at
+# interpreter startup, so env set here would be ignored.  The repo-local dir
+# is shared with bench.py — test compiles of the production shapes prime the
+# bench and vice versa.
+from geo4d_tpu.core.cache import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache(
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+)
 
 # keep f32 matmuls at f32 accuracy on the MXU so numeric tests hold on TPU
 jax.config.update("jax_default_matmul_precision", "highest")
