@@ -131,6 +131,16 @@ def _gather_frames(consts, arr):
     return out.reshape(eh.shape[0], *arr.shape[1:])
 
 
+def _gather_frames_soa(consts, arr):
+    """SoA variant: (C, Np, P) -> (C, Gp*S, P), same one-hot-matmul trick,
+    batched over the leading coordinate axis so every operand/result keeps
+    P as its minor (lane) dimension — no TPU relayout copies."""
+    eh = consts["e_onehot"]
+    return jnp.einsum(
+        "en,cnp->cep", eh, arr, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def _focals(params, cfg: AlignerConfig, n: int) -> jnp.ndarray:
     f = jnp.exp(params["focal"] / cfg.focal_break)
     if cfg.shared_focal:
@@ -148,20 +158,23 @@ def _pw_scale(params, cfg: AlignerConfig, group_valid) -> jnp.ndarray:
 
 
 def _pts3d_world(params, consts, cfg: AlignerConfig) -> jnp.ndarray:
-    """(N, P, 3) optimized global points: unproject + pose transform."""
+    """(3, N, P) optimized global points: unproject + pose transform.
+
+    Coordinate-LEADING (SoA) layout: every megapixel tensor in the loss
+    keeps P as its minor (lane) dimension, so XLA:TPU tiles it fully —
+    a trailing xyz axis of 3 would occupy 3 of 128 lanes and forces
+    relayout copies worth ~half the per-iteration time (measured)."""
     depth = jnp.exp(params["log_depth"])                  # (N, P)
     n = depth.shape[0]
-    f = _focals(params, cfg, n)[:, None, None]
-    rel = jnp.concatenate(
-        [
-            depth[..., None] * (consts["grid"][None] - consts["pp"][:, None]) / f,
-            depth[..., None],
-        ],
-        axis=-1,
-    )
+    f = _focals(params, cfg, n)[None, :, None]
+    grid = consts["grid"]                                 # (2, P)
+    pp = consts["pp"]                                     # (Np, 2)
+    rel_xy = depth[None] * (grid[:, None] - pp.T[:, :, None]) / f  # (2, N, P)
+    rel = jnp.concatenate([rel_xy, depth[None]], axis=0)  # (3, N, P)
     poses = params_to_pose(params["poses"])
     return (
-        jnp.einsum("nij,npj->npi", poses[:, :3, :3], rel) + poses[:, None, :3, 3]
+        jnp.einsum("nij,jnp->inp", poses[:, :3, :3], rel)
+        + jnp.transpose(poses[:, :3, 3])[:, :, None]
     )
 
 
@@ -180,22 +193,24 @@ def _alignment_loss(
     `consts` carries every buffer as an argument — nothing is baked into
     the jaxpr, so one compile serves every same-shaped sequence.
     """
-    G, S, P, _ = consts["pred_pts"].shape
+    _, G, S, P = consts["pred_pts"].shape
     total_area = consts["total_area"]
 
-    proj = _pts3d_world(params, consts, cfg)               # (N, P, 3)
+    proj = _pts3d_world(params, consts, cfg)               # (3, N, P)
     pw_RT = params_to_pose(params["pw_poses"][:, :7])
     s = _pw_scale(params, cfg, consts["group_valid"])
     pw = pw_RT.at[:, :3].multiply(s[:, None, None])        # sim3 (G, 4, 4)
-    pred = consts["pred_pts"]                              # (G, S, P, 3)
+    pred = consts["pred_pts"]                              # (3, G, S, P) SoA
     aligned = (
-        jnp.einsum("gij,gspj->gspi", pw[:, :3, :3], pred) + pw[:, None, None, :3, 3]
+        jnp.einsum("gij,jgsp->igsp", pw[:, :3, :3], pred)
+        + jnp.transpose(pw[:, :3, 3])[:, :, None, None]
     )
     w = consts["weights"]
     if cfg.conf_optimize:
         w = jnp.minimum(w, cfg.conf_clamp)
-    proj_e = _gather_frames(consts, proj).reshape(G, S, P, 3)
-    li = jnp.sum(_safe_norm(proj_e - aligned) * w) / total_area
+    proj_e = _gather_frames_soa(consts, proj).reshape(3, G, S, P)
+    d = proj_e - aligned
+    li = jnp.sum(jnp.sqrt(jnp.sum(d * d, axis=0) + 1e-12) * w) / total_area
 
     depth_loss = 0.0
     traj_loss = 0.0
@@ -424,8 +439,12 @@ class GroupAligner:
         groups_pad[: self.G] = self.groups
 
         self.buf = {
-            "pred_pts": pad_g(
-                jnp.asarray(pred_pts).reshape(self.G, self.S, self.P, 3)
+            # SoA: coordinate axis LEADING so the (S, P) minor dims tile
+            # fully on TPU (trailing xyz would waste 125/128 lanes and
+            # cost relayout copies every loss iteration)
+            "pred_pts": jnp.transpose(
+                pad_g(jnp.asarray(pred_pts).reshape(self.G, self.S, self.P, 3)),
+                (3, 0, 1, 2),
             ),
             "weights": pad_g(
                 jnp.asarray(weights).reshape(self.G, self.S, self.P)
@@ -478,8 +497,8 @@ class GroupAligner:
         self.init_conf = self.im_conf.copy()
 
         x, y = np.meshgrid(np.arange(self.W), np.arange(self.H))
-        self.grid = jnp.asarray(
-            np.stack([x, y], -1).reshape(self.P, 2).astype(np.float32)
+        self.grid = jnp.asarray(                       # (2, P) SoA
+            np.stack([x, y], 0).reshape(2, self.P).astype(np.float32)
         )
         self.pp = jnp.asarray(
             np.tile([[self.W / 2, self.H / 2]], (self.Np, 1)).astype(np.float32)
@@ -763,9 +782,8 @@ class GroupAligner:
         )
 
     def get_pts3d(self) -> np.ndarray:
-        return np.asarray(self._pts3d_world(self.params))[: self.N].reshape(
-            self.N, self.H, self.W, 3
-        )
+        soa = np.asarray(self._pts3d_world(self.params))[:, : self.N]
+        return np.moveaxis(soa, 0, -1).reshape(self.N, self.H, self.W, 3)
 
     def get_conf(self) -> np.ndarray:
         return self.im_conf.reshape(self.N, self.H, self.W)
