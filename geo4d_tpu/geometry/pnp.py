@@ -120,12 +120,34 @@ def fast_pnp(
     if mask.sum() < 4:
         return None
     h, w, _ = pts3d.shape
+    pixels = _pixel_grid(h, w)
+    return fast_pnp_points(
+        pts3d[mask], pixels[mask], (w, h), focal=focal, pp=pp,
+        niter=niter, reproj_err=reproj_err, max_points=max_points,
+    )
+
+
+def fast_pnp_points(
+    p3: np.ndarray,                  # (M, 3) world points
+    p2: np.ndarray,                  # (M, 2) pixel coords (full-res units)
+    size_wh: Tuple[int, int],
+    focal: Optional[float] = None,
+    pp: Optional[Tuple[float, float]] = None,
+    niter: int = 10,
+    reproj_err: float = 5.0,
+    max_points: int = 4096,
+) -> Optional[Tuple[float, np.ndarray]]:
+    """`fast_pnp` on explicit correspondences (e.g. a device-side
+    subsample of a point map — avoids fetching full-resolution maps just
+    to immediately subsample them on host)."""
+    w, h = size_wh
+    if p3.shape[0] < 4:
+        return None
     # degenerate map (all masked points identical — e.g. zero/constant
     # predictions): no focal candidate can succeed; skip the 63-candidate
     # sweep x RANSAC, which costs seconds per frame before failing anyway
-    if np.ptp(pts3d[mask], axis=0).max() < 1e-9:
+    if np.ptp(p3, axis=0).max() < 1e-9:
         return None
-    pixels = _pixel_grid(h, w)
     S = max(w, h)
     if focal is None:
         tentative = np.geomspace(S / 2, S * 3, 63)
@@ -136,8 +158,6 @@ def fast_pnp(
     if pp is None:
         pp = (w / 2, h / 2)
 
-    p3 = pts3d[mask]
-    p2 = pixels[mask]
     if max_points and p3.shape[0] > max_points:
         sel = np.random.default_rng(0).choice(
             p3.shape[0], max_points, replace=False

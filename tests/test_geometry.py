@@ -210,6 +210,35 @@ def test_fast_pnp_synthetic(rng):
     assert np.allclose(c2w[:3, :3], R_c2w, atol=0.05)
 
 
+def test_fast_pnp_points_subsample(rng):
+    """fast_pnp_points on an explicit correspondence subset (the aligner
+    init's device-side subsample path) recovers the same pose as the
+    full-map API, including the max_points cap."""
+    from geo4d_tpu.geometry.pnp import fast_pnp_points
+
+    h, w = 48, 64
+    focal = 40.0
+    R = random_rotation(np.random.default_rng(7))
+    t = np.array([0.2, 0.1, 4.0])
+    dirs = camera_ray_dirs(h, w, focal)
+    depth = rng.uniform(2, 8, size=(h, w, 1)).astype(np.float64)
+    pts_cam = dirs / dirs[..., 2:] * depth
+    R_c2w, c = R.T, -R.T @ t
+    pts_world = (pts_cam @ R_c2w.T + c).reshape(-1, 3)
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    pixels = np.stack([x.ravel(), y.ravel()], -1).astype(np.float64)
+    sel = rng.choice(h * w, 900, replace=False)
+    out = fast_pnp_points(
+        pts_world[sel].astype(np.float32), pixels[sel], (w, h),
+        focal=focal, niter=50, reproj_err=1.0, max_points=512,
+    )
+    assert out is not None
+    f_est, c2w = out
+    assert f_est == pytest.approx(focal, rel=0.05)
+    assert np.allclose(c2w[:3, 3], c, atol=0.05)
+    assert np.allclose(c2w[:3, :3], R_c2w, atol=0.05)
+
+
 def test_fast_pnp_unknown_focal(rng):
     # wide-FoV image so the focal is well-determined by perspective
     h, w = 48, 64
