@@ -38,7 +38,7 @@ import numpy as np
 
 from geo4d_tpu.alignment.optimizer import GroupAligner
 from geo4d_tpu.geometry.moge import point_map_to_depth
-from geo4d_tpu.geometry.pnp import fast_pnp
+from geo4d_tpu.geometry.pnp import fast_pnp, fast_pnp_points
 from geo4d_tpu.geometry.se3 import umeyama_sim3, umeyama_sim3_np
 from geo4d_tpu.geometry.utils import inv_se3
 
@@ -102,6 +102,21 @@ def recover_group_focals(
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("dh", "dw", "H", "W"))
+def _focal_prep_dev(ref_pts, conf0, dh: int, dw: int, H: int, W: int):
+    """Downsample + z-shift + batched MoGe focal solve as ONE device call
+    (the eager slicing/min chain costs a tunnel round trip per op)."""
+    yi = (jnp.arange(dh) * H) // dh
+    xi = (jnp.arange(dw) * W) // dw
+    z_shift = 1.0 - jnp.min(ref_pts[..., 2])
+    pts_lr = ref_pts[:, yi][:, :, xi].at[..., 2].add(z_shift)
+    mask_lr = conf0[:, yi][:, :, xi] > 0.5
+    _, fov_x, fov_y, _ = point_map_to_depth(
+        pts_lr, mask_lr, downsample_size=(dh, dw), image_size=(H, W)
+    )
+    return fov_x, fov_y
+
+
 @jax.jit
 def _register_window_dev(pts_acc, conf_acc, done, pred_g, conf_g, idx_g):
     """Sim3-register one window onto the frames already placed, then
@@ -149,15 +164,14 @@ def _init_from_group_device(
     pred_pts,                 # (G, S, H, W, 3) device array
     conf,                     # (G, S, H, W) device array
     niter_pnp: int = 10,
-    pnp_stride: int = 2,
     verbose: bool = False,
 ) -> None:
     """Device-resident init: the multi-megapoint registration math runs
     where the diffusion outputs already live; the host fetches only a
-    pnp_stride-subsampled copy for OpenCV RANSAC-PnP (deliberate
-    divergence: the reference solves PnP on every masked pixel — a regular
-    stride-2 subsample leaves ~37k correspondences, statistically
-    equivalent for RANSAC, and cuts the device->host fetch 4x).
+    seeded ~16k-pixel point subsample for OpenCV RANSAC-PnP (deliberate
+    divergence: the reference solves PnP on every masked pixel — RANSAC
+    pose quality saturates far below that, and the subsample cuts the
+    device->host fetch ~5x on a remote link).
 
     Second documented divergence: the reference re-solves PnP each time a
     later window overwrites a frame; here one PnP pass runs over the FINAL
@@ -186,15 +200,7 @@ def _init_from_group_device(
 
     # ---- focal recovery (device downsample, tiny fetch) ----
     dh = dw = 64
-    yi = (np.arange(dh) * H) // dh
-    xi = (np.arange(dw) * W) // dw
-    ref_pts = pred_pts[:, 0]                                     # (G, H, W, 3)
-    z_shift = 1.0 - jnp.min(ref_pts[..., 2])
-    pts_lr = ref_pts[:, yi][:, :, xi].at[..., 2].add(z_shift)
-    mask_lr = conf[:, 0][:, yi][:, :, xi] > 0.5
-    _, fov_x, fov_y, _ = point_map_to_depth(
-        pts_lr, mask_lr, downsample_size=(dh, dw), image_size=(H, W)
-    )
+    fov_x, fov_y = _focal_prep_dev(pred_pts[:, 0], conf[:, 0], dh, dw, H, W)
     fx = 0.5 / np.tan(np.asarray(fov_x) / 2)
     fy = 0.5 / np.tan(np.asarray(fov_y) / 2)
     focal = (fx * W + fy * H) / 2
@@ -220,13 +226,18 @@ def _init_from_group_device(
 
     mark("register")
 
-    # ---- host PnP on the subsampled final placements ----
-    sub = np.asarray(
-        pts_acc.reshape(N, H, W, 3)[:, ::pnp_stride, ::pnp_stride]
-    )
-    sub_conf = np.asarray(
-        conf_acc.reshape(N, H, W)[:, ::pnp_stride, ::pnp_stride]
-    )
+    # ---- host PnP on a device-side point subsample ----
+    # RANSAC-PnP needs a few thousand correspondences, not megapixel maps:
+    # gather a fixed seeded pixel subset ON DEVICE and fetch only
+    # (N, P_sub) tensors (~4 MB vs ~19 MB for the old stride-2 map fetch).
+    p_sub = min(4 * 4096, P)
+    sel = np.random.default_rng(0).choice(P, size=p_sub, replace=False)
+    sel_dev = jnp.asarray(sel)
+    sub = np.asarray(pts_acc[:, sel_dev])                        # (N, p_sub, 3)
+    sub_conf = np.asarray(conf_acc[:, sel_dev])                  # (N, p_sub)
+    x_pix = (sel % W).astype(np.float64)
+    y_pix = (sel // W).astype(np.float64)
+    sub_pix = np.stack([x_pix, y_pix], -1)                       # (p_sub, 2)
     mark("fetch")
     im_poses = np.tile(np.eye(4), (N, 1, 1))
     im_focals: List[Optional[float]] = [None] * N
@@ -247,13 +258,9 @@ def _init_from_group_device(
 
     def solve(i):
         warm = None if np.isnan(warm_of[i]) else float(warm_of[i])
-        # the subsampled grid is a consistent camera at focal/stride and
-        # pp/stride — convert the warm start in, the recovered focal out;
-        # the POSE is unit-free and needs no correction
-        return i, fast_pnp(
-            sub[i], sub_conf[i] > 0.5,
-            focal=None if warm is None else warm / pnp_stride,
-            niter=niter_pnp,
+        m = sub_conf[i] > 0.5
+        return i, fast_pnp_points(
+            sub[i][m], sub_pix[m], (W, H), focal=warm, niter=niter_pnp,
         )
 
     from concurrent.futures import ThreadPoolExecutor
@@ -262,7 +269,7 @@ def _init_from_group_device(
         for i, res in pool.map(solve, range(N)):
             if res is not None:
                 f, pose = res
-                im_focals[i] = f * pnp_stride
+                im_focals[i] = f
                 im_poses[i] = pose
             elif verbose:
                 print(f"[init] PnP failed for frame {i}; identity fallback")

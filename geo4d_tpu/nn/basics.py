@@ -38,6 +38,53 @@ def timestep_embedding(
     return emb
 
 
+class _FusedGroupNorm(nn.Module):
+    """f32-statistics GroupNorm that reads the bf16 activation in place.
+
+    `nn.GroupNorm(dtype=f32)` requires the input pre-cast to f32, which
+    materializes a 2x-sized copy that both the stats pass and the
+    normalize pass then re-read — on the VAE decoder the GroupNorm chain
+    measured 83% of total decode time (device trace). Here:
+      * both moments are PER-CHANNEL spatial reductions directly over the
+        bf16 buffer with f32 accumulation — the channel (lane) axis stays
+        minor, so the two reduces fuse into one full-speed read;
+      * the group combine runs on the tiny (N, C) moment tensors;
+      * normalization folds algebraically into one per-channel affine
+        (y = x * a + b) applied in a single elementwise pass.
+    Param names/shapes match nn.GroupNorm (scale/bias, (C,)), so converted
+    reference checkpoints load identically.
+    """
+
+    num_groups: int
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.num_groups
+        cg = c // g
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        spatial = tuple(range(1, x.ndim - 1))
+        mean_c = jnp.mean(x, axis=spatial, dtype=jnp.float32)      # (N, C)
+        # second moment from x*x in the INPUT dtype (f32-accumulated):
+        # squaring via x.astype(f32) would share the f32-convert expression
+        # with the normalize pass below, and XLA materializes the shared
+        # conversion as a full-size f32 copy (seen in device traces as
+        # f32-sized bytes_accessed on every stats reduce)
+        mean2_c = jnp.mean(x * x, axis=spatial, dtype=jnp.float32)
+        mean_g = jnp.mean(mean_c.reshape(-1, g, cg), axis=-1)      # (N, g)
+        mean2_g = jnp.mean(mean2_c.reshape(-1, g, cg), axis=-1)
+        var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
+        rstd_g = jax.lax.rsqrt(var_g + self.epsilon)               # (N, g)
+        rstd_c = jnp.repeat(rstd_g, cg, axis=-1)                   # (N, C)
+        shift_g = jnp.repeat(mean_g * rstd_g, cg, axis=-1)
+        a = rstd_c * gamma[None]
+        b = beta[None] - shift_g * gamma[None]
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+        return x.astype(jnp.float32) * a.reshape(shape) + b.reshape(shape)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm computed in float32 regardless of input dtype."""
 
@@ -52,12 +99,12 @@ class GroupNorm32(nn.Module):
         groups = min(self.num_groups, x.shape[-1])
         while x.shape[-1] % groups:
             groups -= 1
-        y = nn.GroupNorm(
-            num_groups=groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        # module name kept at nn.GroupNorm's default scope so parameter
+        # paths (…/GroupNorm_0/scale|bias) — and therefore the torch
+        # checkpoint converter — are unchanged
+        y = _FusedGroupNorm(
+            num_groups=groups, epsilon=self.epsilon, name="GroupNorm_0"
+        )(x)
         return y.astype(orig_dtype)
 
 
