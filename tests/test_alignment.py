@@ -266,3 +266,28 @@ def test_device_init_matches_host_init(synthetic):
     # by subsample noise)
     d_host, d_dev = host.get_depthmaps(), dev.get_depthmaps()
     assert np.median(np.abs(d_host - d_dev) / np.abs(d_host)) < 0.05
+
+
+def test_im_conf_lazy_and_init_snapshot(rng):
+    """im_conf is fetched lazily; init_conf must snapshot the PRISTINE
+    per-frame confidence even when cleanup overwrites im_conf first."""
+    h, w = 8, 12
+    groups = np.array([[0, 1], [1, 2]], np.int32)
+    preds = rng.normal(size=(2, 2, h * w, 3)).astype(np.float32)
+    conf = rng.uniform(0.1, 1.0, size=(2, 2, h * w)).astype(np.float32)
+    cfg = AlignerConfig(n_iter=0, bucket_groups=1, bucket_frames=1)
+    al = GroupAligner(groups, preds, conf, (h, w), config=cfg)
+    assert al._im_conf is None  # not fetched by the ctor
+    # reference value straight from the buffers
+    ref = np.zeros((3, h * w), np.float32)
+    for g in range(2):
+        for s in range(2):
+            ref[groups[g, s]] = np.maximum(ref[groups[g, s]], conf[g, s])
+    got = al.im_conf
+    assert np.allclose(got, ref, atol=1e-6)
+    # overwrite via the setter (what apply_cleanup does) AFTER resetting
+    # the lazy state: init_conf must still return the pristine values
+    al2 = GroupAligner(groups, preds, conf, (h, w), config=cfg)
+    al2.im_conf = np.zeros_like(ref)
+    assert np.allclose(al2.init_conf, ref, atol=1e-6)
+    assert np.allclose(al2.im_conf, 0.0)
