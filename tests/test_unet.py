@@ -135,3 +135,37 @@ def test_task_embedding():
     z0 = apply(params2, jnp.array([0]))
     z3 = apply(params2, jnp.array([3]))
     assert not np.allclose(np.asarray(z0), np.asarray(z3))
+
+
+@pytest.mark.smoke
+def test_fused_groupnorm_matches_flax():
+    """GroupNorm32's fused f32-stats implementation (bf16 in-place reads,
+    folded affine) must match flax nn.GroupNorm to f32 precision, for
+    rank-4 activations and rank-3 token tensors, with non-trivial params."""
+    from flax import linen as nn_flax
+
+    from geo4d_tpu.nn.basics import GroupNorm32
+
+    rng = np.random.default_rng(0)
+    gn = GroupNorm32(num_groups=32)
+    ref = nn_flax.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                            param_dtype=jnp.float32)
+    for shape in ((2, 8, 6, 64), (3, 10, 64)):
+        x = jnp.asarray(rng.normal(2.0, 3.0, shape), jnp.float32)
+        v = jax.jit(gn.init)(jax.random.PRNGKey(0), x)
+        v = jax.tree_util.tree_map(lambda p: p + 0.3, v)
+        y = jax.jit(gn.apply)(v, x)
+        vr = {"params": {"scale": v["params"]["GroupNorm_0"]["scale"],
+                         "bias": v["params"]["GroupNorm_0"]["bias"]}}
+        yr = jax.jit(ref.apply)(vr, x)
+        assert float(jnp.max(jnp.abs(y - yr))) < 1e-5, shape
+    # bf16 path: output dtype preserved, values match to bf16 resolution
+    xb = jnp.asarray(rng.normal(0.0, 2.0, (2, 8, 6, 64)), jnp.bfloat16)
+    vb = jax.jit(gn.init)(jax.random.PRNGKey(1), xb)
+    yb = jax.jit(gn.apply)(vb, xb)
+    assert yb.dtype == jnp.bfloat16
+    yr = jax.jit(ref.apply)(
+        {"params": {"scale": jnp.ones(64), "bias": jnp.zeros(64)}},
+        xb.astype(jnp.float32),
+    )
+    assert float(jnp.max(jnp.abs(yb.astype(jnp.float32) - yr))) < 0.08
