@@ -74,9 +74,12 @@ def main(argv=None):
     if os.path.isdir(args.video_path):
         # image-directory input (reference: dust3r/utils/image.py:301
         # load_images_with_near_aspect_ratio feeds the same pipeline)
+        # raw_uint8: frames stay uint8 on host; the pipeline normalizes
+        # in-jit — the host->device upload (slow on a remote chip) is 4x
+        # smaller than f32 with bit-identical results
         frames, _names = load_image_dir(
             args.video_path, (args.width, args.height),
-            max_frames=args.max_video_frames,
+            max_frames=args.max_video_frames, raw_uint8=True,
         )
         frames = frames[:: args.frame_sampling_stride]
         fps = 24 // args.frame_sampling_stride
@@ -86,6 +89,7 @@ def main(argv=None):
             frame_stride=args.frame_sampling_stride,
             video_size=(args.height, args.width),
             max_frames=args.max_video_frames,
+            raw_uint8=True,
         )
     print(f"[infer] {frames.shape[0]} frames @ {fps} fps, {frames.shape[1:3]}")
 

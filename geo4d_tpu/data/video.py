@@ -95,8 +95,13 @@ def _load_video_native(path, frame_stride, video_size, max_frames):
         lib.vd_close(handle)
     if n == 0:
         raise ValueError(f"no frames decoded from {path}")
-    arr = buf[:n].astype(np.float32)
-    return (arr / 255.0 - 0.5) * 2.0, int(fps / frame_stride)
+    return buf[:n], int(fps / frame_stride)
+
+
+def _normalize(arr_u8: np.ndarray) -> np.ndarray:
+    """uint8 (0..255) -> float32 [-1,1]; the pipeline applies the identical
+    expression in-jit for uint8 ingest (pipeline/inference.py)."""
+    return (arr_u8.astype(np.float32) / 255.0 - 0.5) * 2.0
 
 
 def load_video(
@@ -104,14 +109,21 @@ def load_video(
     frame_stride: int = 1,
     video_size: Tuple[int, int] = (256, 256),  # (H, W)
     max_frames: int = -1,
+    raw_uint8: bool = False,
 ) -> Tuple[np.ndarray, int]:
     """Decode a video -> ((T, H, W, 3) float32 in [-1,1], effective fps).
 
     max_frames=-1 takes all stride-sampled frames; short videos are padded
     by repeating the last frame (funcs.py:170-173).
+
+    raw_uint8=True returns frames as uint8 (0..255) instead: the inference
+    pipeline normalizes on device, so keeping the host array uint8 cuts the
+    host->device upload (the slow link on a remote chip) by 4x.
     """
     if _load_native():
         arr, fps = _load_video_native(path, frame_stride, video_size, max_frames)
+        if not raw_uint8:
+            arr = _normalize(arr)
         if max_frames > 0 and len(arr) < max_frames:
             pad = np.repeat(arr[-1:], max_frames - len(arr), axis=0)
             arr = np.concatenate([arr, pad], axis=0)
@@ -138,8 +150,9 @@ def load_video(
     cap.release()
     if not frames:
         raise ValueError(f"no frames decoded from {path}")
-    arr = np.stack(frames).astype(np.float32)
-    arr = (arr / 255.0 - 0.5) * 2.0
+    arr = np.stack(frames)
+    if not raw_uint8:
+        arr = _normalize(arr)
     if max_frames > 0 and len(frames) < max_frames:
         pad = np.repeat(arr[-1:], max_frames - len(frames), axis=0)
         arr = np.concatenate([arr, pad], axis=0)
@@ -151,8 +164,11 @@ def load_image_dir(
     video_size: Tuple[int, int],   # (W, H) target resolution
     exts: Sequence[str] = (".png", ".jpg", ".jpeg"),
     max_frames: int = -1,
+    raw_uint8: bool = False,
 ) -> Tuple[np.ndarray, List[str]]:
-    """Load a sorted image directory -> ((T, H, W, 3) [-1,1], filenames)."""
+    """Load a sorted image directory -> ((T, H, W, 3) [-1,1], filenames).
+
+    raw_uint8=True keeps frames uint8 (see `load_video`)."""
     from PIL import Image
 
     files = sorted(
@@ -168,9 +184,11 @@ def load_image_dir(
     frames = []
     for f in files:
         img = Image.open(f).convert("RGB").resize((w, h), Image.LANCZOS)
-        frames.append(np.asarray(img, np.float32))
+        frames.append(np.asarray(img, np.uint8))
     arr = np.stack(frames)
-    return (arr / 255.0 - 0.5) * 2.0, files
+    if raw_uint8:
+        return arr, files
+    return _normalize(arr), files
 
 
 def sliding_windows(n_frames: int, window: int = 16, stride: int = 4) -> np.ndarray:

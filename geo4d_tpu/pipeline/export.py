@@ -31,11 +31,14 @@ import numpy as np
 def save_results_dir(
     out_dir: str,
     aligner,
-    rgb_frames: Optional[np.ndarray] = None,   # (N, H, W, 3) in [-1, 1]
+    rgb_frames: Optional[np.ndarray] = None,   # (N,H,W,3) [-1,1] or uint8
     save_glb: bool = True,
     conf_threshold: float = 1e-3,
     dynamic_masks: Optional[np.ndarray] = None,  # (N, H, W) bool/0-1
 ):
+    if rgb_frames is not None and rgb_frames.dtype == np.uint8:
+        # uint8 ingest path (data/video.py raw_uint8) — same normalization
+        rgb_frames = (rgb_frames.astype(np.float32) / 255.0 - 0.5) * 2.0
     os.makedirs(out_dir, exist_ok=True)
     np.savetxt(os.path.join(out_dir, "pred_traj.txt"), aligner.get_tum_poses())
     np.savetxt(os.path.join(out_dir, "pred_focal.txt"), aligner.get_focals())

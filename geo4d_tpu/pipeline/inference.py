@@ -94,7 +94,18 @@ class WindowPredictor:
         model = self.model
 
         def run(params, frames, text_ctx, uncond_text_ctx, fs, key):
-            """frames (B, T, H, W, 3) -> decoded geometry maps dict."""
+            """frames (B, T, H, W, 3) -> decoded geometry maps dict.
+
+            Accepts uint8 (0..255) or float [-1,1] frames. uint8 ingest is
+            the fast path: the host->device video upload is 4x smaller (the
+            tunnel link measured 25-45 MB/s — a 56 MB f32 upload cost
+            1.3-2.4 s of the diffusion stage) and the window gather moves
+            4x fewer HBM bytes; normalization happens here in-jit with the
+            exact host expression (data/video.py:99) so results match the
+            float path bit-for-bit.
+            """
+            if frames.dtype == jnp.uint8:
+                frames = (frames.astype(jnp.float32) / 255.0 - 0.5) * 2.0
             b, t = frames.shape[:2]
             img_ctx = model.embed_frames(params, frames)       # (B, T*16, C)
             bcast = lambda c: jnp.broadcast_to(c, (b, *c.shape[1:]))

@@ -175,3 +175,23 @@ def test_predict_video_matches_predict_windows(tiny_setup):
     import jax
 
     assert isinstance(out_d["pts3d"], jax.Array)
+
+
+def test_uint8_ingest_bit_identical(tiny_setup):
+    """uint8 frames (raw_uint8 ingest, normalized in-jit with the host
+    expression) must produce bit-identical outputs to the host-normalized
+    f32 path — the normalization arithmetic is the same f32 expression."""
+    model, params, (H, W, T) = tiny_setup
+    cfg = InferenceConfig(window=T, stride=2, ddim_steps=2, window_batch=1)
+    predictor = WindowPredictor(model, params, cfg)
+    frames_u8 = np.random.default_rng(7).integers(
+        0, 256, size=(T + 4, H, W, 3), dtype=np.uint8
+    )
+    frames_f32 = (frames_u8.astype(np.float32) / 255.0 - 0.5) * 2.0
+    groups = sliding_windows(T + 4, T, 2)
+    text_ctx = np.zeros((1, 77, model.unet.context_dim), np.float32)
+
+    out_f = predictor.predict_video(frames_f32, groups, text_ctx, fps=24, seed=5)
+    out_u = predictor.predict_video(frames_u8, groups, text_ctx, fps=24, seed=5)
+    for k in out_f:
+        np.testing.assert_array_equal(out_f[k], out_u[k], err_msg=k)
