@@ -95,7 +95,11 @@ def _load_video_native(path, frame_stride, video_size, max_frames):
         lib.vd_close(handle)
     if n == 0:
         raise ValueError(f"no frames decoded from {path}")
-    return buf[:n], int(fps / frame_stride)
+    # buf[:n] is a view that would pin the full `cap`-frame decode buffer
+    # (~49 GB virtual at 100k x 320x512) for the lifetime of the result;
+    # copy when the decode under-filled it so the big buffer is freed.
+    frames = buf[:n] if n == cap else buf[:n].copy()
+    return frames, int(fps / frame_stride)
 
 
 def _normalize(arr_u8: np.ndarray) -> np.ndarray:

@@ -250,7 +250,8 @@ class WindowPredictor:
 
     def predict_video(
         self,
-        frames: np.ndarray,           # (N, H, W, 3) full video in [-1, 1]
+        frames: np.ndarray,           # (N, H, W, 3): uint8 0..255 (preferred,
+                                      # normalized on device) or float [-1,1]
         groups: np.ndarray,           # (G, T) int window -> frame indices
         text_ctx: np.ndarray,
         fps: int,
@@ -310,7 +311,8 @@ class WindowPredictor:
 def reconstruct(
     model: GeoDiffusion,
     params: Dict[str, Any],
-    frames: np.ndarray,               # (T, H, W, 3) in [-1, 1]
+    frames: np.ndarray,               # (T, H, W, 3): uint8 0..255 (preferred,
+                                      # 4x cheaper upload) or float [-1, 1]
     text_ctx: np.ndarray,             # (1, 77, 1024) precomputed text context
     fps: int = 24,
     inference_config: InferenceConfig = InferenceConfig(),

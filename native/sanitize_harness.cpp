@@ -83,6 +83,32 @@ void decoder_cases(const char* valid_video) {
   expect(vd_fps(h) > 0, "valid file has fps");
   vd_close(h);
 
+  // decode-correctness checksum: per-channel pixel means over the decoded
+  // frames, printed for the caller (tests/test_native_sanitize.py compares
+  // them against an independent cv2 decode) — a silently-broken decode
+  // (wrong plane order, stride bug, all-zero output) can't pass rejection
+  // cases alone, but can't fake these either.
+  if (n_full > 0) {
+    double sums[3] = {0, 0, 0};
+    const size_t npix = static_cast<size_t>(n_full) * 48 * 32;
+    for (size_t p = 0; p < npix; ++p)
+      for (int c = 0; c < 3; ++c) sums[c] += buf[p * 3 + c];
+    std::printf("CHECKSUM n=%d mean_rgb=%.4f,%.4f,%.4f\n", n_full,
+                sums[0] / npix, sums[1] / npix, sums[2] / npix);
+    // a second open must reproduce the decode bit-for-bit (determinism)
+    void* h2 = vd_open(valid_video, 48, 32);
+    if (h2) {
+      std::vector<uint8_t> buf2(64 * 48 * 32 * 3);
+      int n2 = vd_read_frames(h2, buf2.data(), 64, 1);
+      expect(n2 == n_full &&
+                 std::memcmp(buf.data(), buf2.data(), npix * 3) == 0,
+             "valid file: repeat decode is bit-identical");
+      vd_close(h2);
+    } else {
+      expect(false, "valid file reopens");
+    }
+  }
+
   // progressively truncated copies: must never crash, never overflow the
   // output buffer, and never return more frames than the intact file
   FILE* f = std::fopen(valid_video, "rb");

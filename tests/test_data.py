@@ -43,17 +43,26 @@ def synthetic_video(tmp_path_factory):
 
 
 def test_native_decoder_loads(synthetic_video):
+    # contract: the private loader returns raw uint8 (0..255); the public
+    # load_video normalizes (or passes uint8 through with raw_uint8=True).
     assert _load_native(), "native decoder library missing — run native/build.sh"
     arr, fps = _load_video_native(synthetic_video, 1, (24, 32), -1)
     assert arr.shape == (20, 24, 32, 3)
-    assert -1.0 <= arr.min() and arr.max() <= 1.0
+    assert arr.dtype == np.uint8
     assert fps == 24
+    # the under-filled decode buffer must not be pinned by a view
+    assert arr.base is None or arr.base.shape[0] == arr.shape[0]
+    # public API still yields [-1,1] floats by default
+    norm, _ = load_video(synthetic_video, 1, (24, 32))
+    assert norm.dtype == np.float32
+    assert -1.0 <= norm.min() and norm.max() <= 1.0
 
 
 def test_native_matches_cv2(synthetic_video):
     import cv2
 
     arr_native, _ = _load_video_native(synthetic_video, 1, (24, 32), 8)
+    assert arr_native.dtype == np.uint8
     # cv2 reference decode
     cap = cv2.VideoCapture(synthetic_video)
     frames = []
@@ -65,9 +74,10 @@ def test_native_matches_cv2(synthetic_video):
         frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
     cap.release()
     ref = (np.stack(frames).astype(np.float32) / 255.0 - 0.5) * 2.0
+    native_norm = (arr_native.astype(np.float32) / 255.0 - 0.5) * 2.0
     # same codec output, different scalers: allow small interpolation diff
-    assert arr_native.shape == ref.shape
-    assert np.abs(arr_native - ref).mean() < 0.05
+    assert native_norm.shape == ref.shape
+    assert np.abs(native_norm - ref).mean() < 0.05
 
 
 def test_load_video_stride_and_pad(synthetic_video):
