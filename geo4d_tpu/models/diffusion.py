@@ -272,8 +272,13 @@ class GeoDiffusion:
         cfg_scale: float = 1.0,
         cfg_img: Optional[float] = None,
         guidance_rescale: float = 0.7,
+        x_T: Optional[jax.Array] = None,
     ) -> jax.Array:
-        """Denoise one 16-frame window -> (B, T, h, w, 16) geometry latents."""
+        """Denoise one 16-frame window -> (B, T, h, w, 16) geometry latents.
+
+        `x_T` optionally fixes the initial noise (the reference sampler's
+        x_T kwarg, ddim.py:144-147) — used by the pipeline cross-check and
+        DDIM-inversion replays."""
         b, t, h, w, _ = c_concat.shape
         shape = (b, t, h, w, self.unet.out_channels)
         tables = DDIMTables.from_schedule(self.schedule, num_steps, timestep_spacing, eta)
@@ -306,6 +311,7 @@ class GeoDiffusion:
             cfg_scale=cfg_scale,
             cfg_img=cfg_img,
             guidance_rescale=guidance_rescale,
+            x_T=x_T,
         )
 
     # ---------------- q-process (training) ----------------

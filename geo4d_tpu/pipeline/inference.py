@@ -93,7 +93,7 @@ class WindowPredictor:
         cfg = self.cfg
         model = self.model
 
-        def run(params, frames, text_ctx, uncond_text_ctx, fs, key):
+        def run(params, frames, text_ctx, uncond_text_ctx, fs, key, x_T=None):
             """frames (B, T, H, W, 3) -> decoded geometry maps dict.
 
             Accepts uint8 (0..255) or float [-1,1] frames. uint8 ingest is
@@ -138,6 +138,7 @@ class WindowPredictor:
                 cfg_scale=cfg.cfg_scale,
                 cfg_img=cfg.cfg_img,
                 guidance_rescale=cfg.guidance_rescale,
+                x_T=x_T,
             )
             dec = model.decode_geometry(params, samples)
 
@@ -215,9 +216,13 @@ class WindowPredictor:
         fps: int,
         seed: int = 123,
         uncond_text_ctx: Optional[np.ndarray] = None,  # empty-prompt ctx
+        x_T: Optional[np.ndarray] = None,     # (G, T, h, w, 16) initial noise
     ) -> Dict[str, np.ndarray]:
         """Run diffusion for all windows (chunked), then recover per-window
-        diffusion cameras from the Plücker maps."""
+        diffusion cameras from the Plücker maps.
+
+        `x_T` optionally fixes each window's initial DDIM noise (reference
+        ddim.py:144-147 semantics) for reproducible replays/cross-checks."""
         cfg = self.cfg
         g_total = frames_windows.shape[0]
         run = self._get_jitted("run", lambda: jax.jit(self._window_fn()))
@@ -235,13 +240,21 @@ class WindowPredictor:
             pad = bs - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            xt_chunk = None
+            if x_T is not None:
+                xt_chunk = np.asarray(x_T[start : start + bs], np.float32)
+                if pad:
+                    xt_chunk = np.concatenate(
+                        [xt_chunk, np.repeat(xt_chunk[-1:], pad, 0)]
+                    )
+                xt_chunk = jnp.asarray(xt_chunk)
             key, sub = jax.random.split(key)
             fs = jnp.full((chunk.shape[0],), fps, jnp.int32)
             chunk_dev = jnp.asarray(chunk)
             if self._window_sharding is not None:
                 chunk_dev = jax.device_put(chunk_dev, self._window_sharding)
             out = run(self.params, chunk_dev, jnp.asarray(text_ctx),
-                      jnp.asarray(uncond_text_ctx), fs, sub)
+                      jnp.asarray(uncond_text_ctx), fs, sub, xt_chunk)
             out = {k: np.asarray(v) for k, v in out.items()}
             if pad:
                 out = {k: v[:-pad] for k, v in out.items()}
