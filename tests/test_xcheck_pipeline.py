@@ -111,11 +111,11 @@ def ref():
     return mod
 
 
-@pytest.fixture(scope="module")
-def torch_model(ref):
-    """Tiny-width full-topology reference LatentVisualDiffusion, built by the
-    reference's own instantiate_from_config from an inference_geo4d.yaml-shaped
-    config tree (stand-in CLIP targets)."""
+def build_torch_models():
+    """Tiny-width full-topology reference LatentVisualDiffusion + pointmap
+    VAE, built by the reference's own instantiate_from_config from an
+    inference_geo4d.yaml-shaped config tree (stand-in CLIP targets).
+    Reused by tests/test_convert_files.py for the file-format rehearsal."""
     from utils.utils import instantiate_from_config
 
     AD = _refstubs.AttrDict.wrap
@@ -188,7 +188,11 @@ def torch_model(ref):
 
 
 @pytest.fixture(scope="module")
-def jax_model(torch_model):
+def torch_model(ref):
+    return build_torch_models()
+
+
+def build_jax_model(torch_model):
     """Our GeoDiffusion twin with the torch weights converted through the
     PRODUCTION key rules + prefixes (cli/common.py:69-78 semantics)."""
     from geo4d_tpu.models.autoencoder import AutoencoderKL, VAEConfig
@@ -274,6 +278,11 @@ def jax_model(torch_model):
             )
             assert not missing, f"{name}: unfilled leaves {missing[:8]}"
     return model, params
+
+
+@pytest.fixture(scope="module")
+def jax_model(torch_model):
+    return build_jax_model(torch_model)
 
 
 def _make_video(seed=11):
