@@ -158,6 +158,132 @@ def build_zero_params(model):
     return rebuild(jax.jit(make_all)())
 
 
+PEAK_BY_KIND = {
+    # (dense bf16 TFLOP/s, HBM GB/s) per chip, keyed by device_kind substring
+    "v5 lite": (197.0, 819.0), "v5litepod": (197.0, 819.0),
+    "v5e": (197.0, 819.0),
+    "v4": (275.0, 1228.0), "v5p": (459.0, 2765.0),
+    "v6 lite": (918.0, 1640.0), "v6e": (918.0, 1640.0),
+    "v3": (123.0, 900.0), "v2": (45.0, 700.0),
+}
+
+
+def chip_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, (tflops, gbps) in PEAK_BY_KIND.items():
+        if key in kind:
+            return tflops, gbps, jax.devices()[0].device_kind
+    return None, None, jax.devices()[0].device_kind
+
+
+COSTS_PATH = os.path.join(_REPO, "bench_costs.json")
+
+
+def _cached_cost_analysis(tag, lower_fn):
+    """FLOPs (+ bytes) of a compiled executable via XLA cost analysis.
+
+    The full-graph lowering costs 10+ min of 1-vCPU host time — far too
+    slow to pay inside the driver's timed bench — and is DETERMINISTIC for
+    fixed shapes/config, so the numbers live in the committed
+    bench_costs.json, regenerated by `scripts/trace_bench_costs.py`
+    (or GEO4D_BENCH_TRACE_COSTS=1) whenever shapes/model change. A stale
+    tag (shape change without regeneration) simply misses and reports null
+    MFU rather than lying."""
+    costs = {}
+    if os.path.exists(COSTS_PATH):
+        with open(COSTS_PATH) as f:
+            costs = json.load(f)
+    if tag in costs:
+        return costs[tag]
+    if os.environ.get("GEO4D_BENCH_TRACE_COSTS") != "1":
+        print(f"# cost tag {tag!r} not in {COSTS_PATH}; run "
+              "scripts/trace_bench_costs.py to (re)generate", file=sys.stderr)
+        return None
+    cost = lower_fn().compile().cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0]
+    costs[tag] = {
+        "flops": float(cost.get("flops", 0.0)),
+        "bytes": float(cost.get("bytes accessed", 0.0)),
+    }
+    with open(COSTS_PATH, "w") as f:
+        json.dump(costs, f, indent=1, sort_keys=True)
+    return costs[tag]
+
+
+def diffusion_cost(model, params, icfg, groups):
+    """Cost analysis of the EXACT executable the diffusion stage runs
+    (predict_video's run_video jit at bench shapes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from geo4d_tpu.pipeline.inference import WindowPredictor
+
+    predictor = WindowPredictor(model, params, icfg)
+
+    def lower():
+        fn = predictor._get_jitted(
+            "run_video", lambda: jax.jit(predictor._video_fn())
+        )
+        video = jnp.zeros((N_FRAMES, H, W, 3), jnp.uint8)
+        gidx = jnp.asarray(np.asarray(groups), jnp.int32)
+        ctx = jnp.zeros((1, 77, 1024), jnp.float32)
+        fs = jnp.full((groups.shape[0],), 24, jnp.int32)
+        return fn.lower(params, video, gidx, ctx, ctx, fs,
+                        jax.random.PRNGKey(0))
+
+    tag = f"diffusion_{N_FRAMES}x{H}x{W}_wb{icfg.window_batch}"
+    return _cached_cost_analysis(tag, lower)
+
+
+def build_random_params(model, scale=0.02):
+    """Random-normal params at the exact zero-param shapes — used once per
+    round to bound the 'latency is weight-value independent' protocol
+    (VERDICT r3 weakness 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = _param_shapes(model)
+
+    def make_all(key):
+        out = {}
+        for tower, entries in shapes.items():
+            keys = jax.random.split(key, len(entries) + 1)
+            key = keys[0]
+            arrs = []
+            for (_, shape, dtype), k in zip(entries, keys[1:]):
+                if jnp.issubdtype(jnp.dtype(dtype), jnp.floating):
+                    arrs.append(
+                        jax.random.normal(k, shape, jnp.bfloat16) * scale
+                    )
+                else:
+                    arrs.append(jnp.zeros(shape, dtype))
+            out[tower] = arrs
+        return out
+
+    # reuse build_zero_params' rebuild-from-paths helper
+    rebuilt = jax.jit(make_all)(jax.random.PRNGKey(7))
+
+    def rebuild(arrays):
+        params = {}
+        for tower, entries in shapes.items():
+            tree = {}
+            for (path, _, _), value in zip(entries, arrays[tower]):
+                keys = [p.strip("'\"") for p in
+                        path.replace("]", "").split("[")[1:]]
+                node = tree
+                for k in keys[:-1]:
+                    node = node.setdefault(k, {})
+                node[keys[-1]] = value
+            params[tower] = tree
+        return params
+
+    return rebuild(rebuilt)
+
+
 def time_diffusion_stage(model, params, icfg):
     """Warm-up then timed predict_video on fresh frames — the production
     path reconstruct() takes: video uploaded once, windows gathered on
@@ -202,6 +328,22 @@ def time_diffusion_stage(model, params, icfg):
         checksum(preds)
         best = min(best, time.time() - t0)
     return best, warm_s, groups
+
+
+def aligner_cost(al):
+    """Cost analysis of one optimizer iteration (value_and_grad of the full
+    alignment loss — the Adam update adds O(params) FLOPs, negligible next
+    to the (G,S,P) loss tensors)."""
+    import jax
+
+    def lower():
+        f = jax.jit(
+            lambda p: jax.value_and_grad(lambda q: al.loss_fn(q, True))(p)
+        )
+        return f.lower(al.params)
+
+    tag = f"align_iter_G{al.Gp}_N{al.Np}_P{al.P}"
+    return _cached_cost_analysis(tag, lower)
 
 
 def synth_predictions(groups, seed=0):
@@ -267,12 +409,14 @@ def time_alignment_stage(groups, acfg):
         total = time.time() - t0
         print(f"#   align breakdown: ctor+init {t_init:.1f}s, "
               f"run {total - t_init:.1f}s", file=sys.stderr)
-        return total
+        return total, total - t_init, al
 
-    warm_s = once(0)
+    warm_s, _, al = once(0)
     # best-of-2: the tunnel to the remote chip is shared infrastructure
     # with high run-to-run variance; min is the honest steady-state
-    return min(once(1), once(2)), warm_s
+    t1, r1, _ = once(1)
+    t2, r2, _ = once(2)
+    return min(t1, t2), warm_s, min(r1, r2), al
 
 
 def main():
@@ -298,7 +442,48 @@ def main():
     print(f"# diffusion {diff_s:.1f}s (warm-up {diff_warm:.0f}s), "
           f"alignment stage...", file=sys.stderr)
 
-    align_s, align_warm = time_alignment_stage(groups, acfg)
+    align_s, align_warm, align_run_s, al = time_alignment_stage(groups, acfg)
+
+    # ---- measured MFU (VERDICT r4 item 3): FLOPs from XLA cost analysis
+    # of the EXACT executables timed above, divided by wall time and the
+    # chip's dense-bf16 peak — perf judged against physics, not the ±30%
+    # A100 estimate. First run pays a one-time trace (~1-2 min, disk-cached).
+    peak, peak_gbps, device_kind = chip_peaks()
+    try:
+        dcost = diffusion_cost(model, params, icfg, groups)
+        acost = aligner_cost(al)
+    except Exception as e:  # cost analysis is diagnostics, never fatal
+        print(f"# cost analysis unavailable: {e!r}", file=sys.stderr)
+        dcost = acost = None
+    diffusion_mfu = align_mfu = diff_gbps = align_gbps = None
+    if dcost and peak:
+        diffusion_mfu = dcost["flops"] / diff_s / (peak * 1e12)
+        diff_gbps = dcost["bytes"] / diff_s / 1e9
+    if acost and peak and align_run_s > 0:
+        align_mfu = acost["flops"] * acfg.n_iter / align_run_s / (peak * 1e12)
+        align_gbps = acost["bytes"] * acfg.n_iter / align_run_s / 1e9
+
+    # ---- zero-vs-random param delta (VERDICT r4 item 7): one timed run
+    # with random-normal weights at identical shapes bounds the 'latency is
+    # weight-value independent' protocol assumption
+    import numpy as _np
+
+    from geo4d_tpu.pipeline.inference import WindowPredictor as _WP
+
+    rparams = build_random_params(model)
+    rpred = _WP(model, rparams, icfg)
+    rng = _np.random.default_rng(9)
+    frames_r = rng.integers(0, 256, size=(N_FRAMES, H, W, 3), dtype=_np.uint8)
+    import jax.numpy as _jnp
+    t0 = time.time()
+    pr = rpred.predict_video(frames_r, groups,
+                             _np.zeros((1, 77, 1024), _np.float32), 24,
+                             seed=321, return_device=True)
+    float(_jnp.sum(pr["pts3d"]))
+    diff_random_s = time.time() - t0
+    print(f"# random-params diffusion {diff_random_s:.1f}s vs zero-params "
+          f"{diff_s:.1f}s (delta {diff_random_s - diff_s:+.1f}s)",
+          file=sys.stderr)
 
     e2e_s = diff_s + align_s
     frames_per_sec = N_FRAMES / e2e_s
@@ -315,6 +500,33 @@ def main():
         "baseline_kind": "estimate",
         "baseline_frames_per_sec": A100_E2E_FRAMES_PER_SEC,
         "baseline_uncertainty": "+/-30% (no published reference numbers)",
+        # measured-physics fields (None when cost analysis is unavailable)
+        "device_kind": device_kind,
+        "chip_peak_bf16_tflops": peak,
+        "diffusion_stage_tflop": (
+            round(dcost["flops"] / 1e12, 2) if dcost else None
+        ),
+        "diffusion_mfu": (
+            round(diffusion_mfu, 4) if diffusion_mfu is not None else None
+        ),
+        "align_iter_gflop": (
+            round(acost["flops"] / 1e9, 2) if acost else None
+        ),
+        "align_mfu": round(align_mfu, 4) if align_mfu is not None else None,
+        # the aligner loop is MEMORY-bound (3.85 GB accessed / 7.5 GFLOP
+        # per iter -> arithmetic intensity ~2 FLOP/byte, vs the ~240
+        # needed to feed the MXU): achieved HBM bandwidth, not MFU, is
+        # its speed-of-light measure
+        "hbm_peak_gbps": peak_gbps,
+        "diffusion_achieved_gbps": (
+            round(diff_gbps, 1) if diff_gbps is not None else None
+        ),
+        "align_achieved_gbps": (
+            round(align_gbps, 1) if align_gbps is not None else None
+        ),
+        "align_run_s": round(align_run_s, 2),
+        "align_init_s": round(align_s - align_run_s, 2),
+        "diffusion_s_random_params": round(diff_random_s, 2),
     }
     print(json.dumps(result))
     print(
@@ -323,6 +535,16 @@ def main():
         f" | param init {init_s:.0f}s",
         file=sys.stderr,
     )
+    if diffusion_mfu is not None:
+        print(
+            f"# physics: diffusion {100 * diffusion_mfu:.1f}% MFU "
+            f"({dcost['flops'] / 1e12:.1f} TFLOP / {diff_s:.1f}s) "
+            f"@ {diff_gbps:.0f} GB/s; align run {align_gbps:.0f} GB/s "
+            f"achieved HBM ({100 * align_gbps / peak_gbps:.0f}% of "
+            f"{peak_gbps:.0f} peak; memory-bound, "
+            f"{100 * align_mfu:.2f}% MFU) on {device_kind}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

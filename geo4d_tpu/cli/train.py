@@ -41,6 +41,9 @@ def get_parser():
                    help="shard large parameters + optimizer state over the "
                         "mesh 'data' axis (ZeRO-style; the reference trained "
                         "with DeepSpeed sharding, infer_geo4d.py:74-78)")
+    p.add_argument("--fsdp_min_size", type=int, default=2**18,
+                   help="smallest parameter (elements) worth sharding; "
+                        "lower for tiny-model soak tests")
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--resume", nargs="?", const="auto", default=None,
                    help="resume from a full-TrainState checkpoint "
@@ -48,6 +51,14 @@ def get_parser():
                         "reference, which ships no mid-run resume "
                         "(SURVEY §5)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tiny", action="store_true",
+                   help="miniature model (presets.tiny) — smoke tests / "
+                        "soak runs on CPU hosts")
+    p.add_argument("--mesh_devices", type=int, default=None,
+                   help="mesh size (default: all devices)")
+    p.add_argument("--mesh_platform", type=str, default=None,
+                   help="mesh backend, e.g. 'cpu' for the virtual-device "
+                        "soak (tests/test_train_soak.py)")
     p.add_argument(
         "--prompt",
         type=str,
@@ -117,9 +128,19 @@ def main(argv=None):
         make_train_step,
     )
 
-    model, params = build_model_and_params(
-        args.ckpt_path, args.vae_path, (args.height, args.width), args.seed
-    )
+    if args.tiny:
+        from geo4d_tpu.models import presets
+
+        model = presets.tiny(temporal_length=args.video_length)
+        params = presets.init_params(
+            model, jax.random.PRNGKey(args.seed),
+            (args.height, args.width), temporal_length=args.video_length,
+            with_text=False,  # zero text ctx via compute_text_context fallback
+        )
+    else:
+        model, params = build_model_and_params(
+            args.ckpt_path, args.vae_path, (args.height, args.width), args.seed
+        )
     prompt_emb = jnp.asarray(
         compute_text_context(model, params, args.prompt)
     )
@@ -140,7 +161,7 @@ def main(argv=None):
         )
     )
 
-    mesh = make_mesh()
+    mesh = make_mesh(args.mesh_devices, platform=args.mesh_platform)
     batch_shard = NamedSharding(mesh, P("data")) if mesh.size > 1 else None
 
     raw_step = make_train_step(
@@ -153,7 +174,8 @@ def main(argv=None):
         # per-param spec applies wherever a leaf has a param's shape.
         from geo4d_tpu.parallel.mesh import shard_params_fsdp
 
-        param_spec = shard_params_fsdp(mesh, state.params)
+        param_spec = shard_params_fsdp(mesh, state.params,
+                                       min_size=args.fsdp_min_size)
         spec_by_shape = {
             p.shape: s
             for p, s in zip(jax.tree_util.tree_leaves(state.params),

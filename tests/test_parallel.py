@@ -115,3 +115,144 @@ def test_window_sharded_gradient_psum():
     xs = jax.device_put(x, shard_batch(mesh))
     g_sharded = jax.jit(jax.grad(loss))(ws, xs)
     assert np.allclose(np.asarray(g_sharded), np.asarray(g_ref), atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# Multi-device NUMERICAL EQUIVALENCE (VERDICT r4 item 9): sharded runs
+# must produce the single-device result, not merely valid shardings.
+# ----------------------------------------------------------------------
+
+
+def test_window_parallel_numerically_equals_single_device():
+    """predict_windows on a 2-device mesh == the unsharded run, same RNG.
+
+    Both sides use window_batch=2 so the key-split sequence is identical
+    (one launch each); x_T is injected so even the initial noise is shared
+    byte-for-byte. Any partitioning bug (wrong axis, dropped shard, psum
+    where none belongs) produces O(1) diffs."""
+    from geo4d_tpu.models import presets
+    from geo4d_tpu.pipeline.inference import InferenceConfig, WindowPredictor
+
+    T, H, W = 4, 32, 32
+    cpus = jax.devices("cpu")
+    with jax.default_device(cpus[0]):
+        model = presets.tiny(temporal_length=T)
+        params = presets.init_params(
+            model, jax.random.PRNGKey(0), (H, W), temporal_length=T,
+            with_text=False,
+        )
+        rng = np.random.default_rng(5)
+        frames = rng.uniform(-1, 1, (2, T, H, W, 3)).astype(np.float32)
+        x_T = rng.standard_normal((2, T, H // 8, W // 8, 16)).astype(np.float32)
+        text_ctx = rng.normal(size=(1, 77, model.unet.context_dim)).astype(
+            np.float32
+        )
+        cfg = InferenceConfig(window=T, ddim_steps=2, window_batch=2)
+
+        single = WindowPredictor(model, params, cfg).predict_windows(
+            frames, text_ctx, fps=24, seed=7, x_T=x_T
+        )
+        mesh = make_mesh(2, devices=cpus[:2])
+        sharded = WindowPredictor(
+            model, params, cfg, mesh=mesh
+        ).predict_windows(frames, text_ctx, fps=24, seed=7, x_T=x_T)
+
+    assert np.std(np.asarray(single["pts3d"])) > 1e-4  # non-degenerate
+    for k in ("pts3d", "conf", "inv_depth", "traj"):
+        d = np.max(np.abs(np.asarray(single[k]) - np.asarray(sharded[k])))
+        # f32 reduction reorder across shards only; a partitioning bug is O(1)
+        assert d < 5e-4, f"{k}: sharded vs single-device diff {d}"
+
+
+def _tiny_train_setup(B, T=2, H=8, W=8):
+    from geo4d_tpu.core.schedules import DiffusionSchedule
+    from geo4d_tpu.models.unet3d import UNet3D
+    from geo4d_tpu.training.step import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    unet = UNet3D(
+        model_channels=16, num_res_blocks=1, attention_resolutions=(1,),
+        channel_mult=(1,), num_head_channels=8, context_dim=16,
+        temporal_length=T, addition_attention=False, temporal_conv=False,
+        dropout=0.0,
+    )
+    x = jnp.zeros((B, T, H, W, 20), jnp.float32)
+    ts = jnp.zeros((B,), jnp.int32)
+    ctx = jnp.zeros((B, 77 + T * 16, 16), jnp.float32)
+    fs = jnp.zeros((B,), jnp.int32)
+    params = jax.jit(lambda k: unet.init(k, x, ts, ctx, fs))(
+        jax.random.PRNGKey(0)
+    )
+    cfg = TrainConfig(temporal_length=T)
+    state = create_train_state(params, cfg)
+    step = make_train_step(lambda p, *a: unet.apply(p, *a),
+                           DiffusionSchedule.create(), cfg)
+    rng = np.random.default_rng(3)
+    batch = {
+        "z0": jnp.asarray(rng.normal(size=(B, T, H, W, 16)), jnp.float32),
+        "c_concat": jnp.asarray(rng.normal(size=(B, T, H, W, 4)), jnp.float32),
+        "context": jnp.asarray(
+            rng.normal(size=(B, 77 + T * 16, 16)), jnp.float32
+        ),
+        "fs": jnp.full((B,), 24, jnp.int32),
+    }
+    return state, step, batch
+
+
+def test_fsdp_train_step_equals_replicated():
+    """One train step with FSDP-sharded state == the replicated-state step
+    (same batch, same rng): params after update and the loss must match to
+    f32 reduction tolerance. Closes the loop on test_fsdp_sharding_layout,
+    which only checks WHERE leaves live."""
+    cpus = jax.devices("cpu")
+    mesh = make_mesh(4, devices=cpus[:4])
+    B = 4
+    with jax.default_device(cpus[0]):
+        state, step, batch = _tiny_train_setup(B)
+        key = jax.random.PRNGKey(11)
+
+        repl = replicated(mesh)
+        batch_shard = shard_batch(mesh)
+        batch_s = {
+            k: jax.device_put(v, batch_shard if v.ndim else repl)
+            for k, v in batch.items()
+        }
+
+        # (a) replicated params
+        state_r = jax.device_put(state, repl)
+        with mesh:
+            new_r, metrics_r = jax.jit(step)(state_r, batch_s, key)
+            jax.block_until_ready(new_r.params)
+
+        # (b) FSDP-sharded params/opt state
+        param_spec = shard_params_fsdp(mesh, state.params, min_size=1)
+        spec_by_shape = {
+            p.shape: s
+            for p, s in zip(jax.tree_util.tree_leaves(state.params),
+                            jax.tree_util.tree_leaves(param_spec))
+        }
+        state_f = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(
+                leaf, spec_by_shape.get(getattr(leaf, "shape", None), repl)
+            ),
+            state,
+        )
+        with mesh:
+            new_f, metrics_f = jax.jit(step)(state_f, batch_s, key)
+            jax.block_until_ready(new_f.params)
+
+        n_sharded = sum(
+            1 for p in jax.tree_util.tree_leaves(new_f.params)
+            if p.addressable_shards[0].data.shape != p.shape
+        )
+        assert n_sharded > 0, "FSDP run did not actually shard anything"
+
+    assert abs(float(metrics_r["loss_simple"])
+               - float(metrics_f["loss_simple"])) < 1e-6
+    for pr, pf in zip(jax.tree_util.tree_leaves(new_r.params),
+                      jax.tree_util.tree_leaves(new_f.params)):
+        d = float(jnp.max(jnp.abs(pr - pf)))
+        assert d < 1e-5, f"param divergence {d} between FSDP and replicated"
