@@ -39,7 +39,7 @@ import numpy as np
 from geo4d_tpu.alignment.optimizer import GroupAligner
 from geo4d_tpu.geometry.moge import point_map_to_depth
 from geo4d_tpu.geometry.pnp import fast_pnp, fast_pnp_points
-from geo4d_tpu.geometry.se3 import umeyama_sim3, umeyama_sim3_np
+from geo4d_tpu.geometry.se3 import pose_to_params, umeyama_sim3, umeyama_sim3_np
 from geo4d_tpu.geometry.utils import inv_se3
 
 
@@ -102,10 +102,20 @@ def recover_group_focals(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("dh", "dw", "H", "W"))
-def _focal_prep_dev(ref_pts, conf0, dh: int, dw: int, H: int, W: int):
-    """Downsample + z-shift + batched MoGe focal solve as ONE device call
-    (the eager slicing/min chain costs a tunnel round trip per op)."""
+@partial(jax.jit, static_argnames=("dh", "dw", "H", "W", "N"))
+def _init_gather_dev(pred_flat, conf_flat, groups_dev, sel,
+                     dh: int, dw: int, H: int, W: int, N: int):
+    """The ENTIRE pre-PnP device init as one launch: MoGe focal prep,
+    sequential sim3 window registration (init_im_poses.py:330-393), the
+    host-PnP point subsample, and the batched per-window sim3
+    (init_from_pts3d_group). One dispatch + one batched fetch replace
+    ~12 eager round trips — on a remote-device tunnel (~30-50 ms each)
+    that was most of the measured 1.3-1.8 s init tail."""
+    G, S, P, _ = pred_flat.shape
+
+    # ---- focal prep (downsample + z-shift on first frames) ----
+    ref_pts = pred_flat[:, 0].reshape(G, H, W, 3)
+    conf0 = conf_flat[:, 0].reshape(G, H, W)
     yi = (jnp.arange(dh) * H) // dh
     xi = (jnp.arange(dw) * W) // dw
     z_shift = 1.0 - jnp.min(ref_pts[..., 2])
@@ -114,49 +124,79 @@ def _focal_prep_dev(ref_pts, conf0, dh: int, dw: int, H: int, W: int):
     _, fov_x, fov_y, _ = point_map_to_depth(
         pts_lr, mask_lr, downsample_size=(dh, dw), image_size=(H, W)
     )
-    return fov_x, fov_y
 
+    # ---- sequential window registration (window 0 = world frame) ----
+    idx0 = groups_dev[0]
+    pts_acc = jnp.zeros((N, P, 3), jnp.float32).at[idx0].set(pred_flat[0])
+    conf_acc = jnp.zeros((N, P), jnp.float32).at[idx0].set(conf_flat[0])
+    done = jnp.zeros((N,), jnp.float32).at[idx0].set(1.0)
 
-@jax.jit
-def _register_window_dev(pts_acc, conf_acc, done, pred_g, conf_g, idx_g):
-    """Sim3-register one window onto the frames already placed, then
-    overwrite its frames' world points (init_im_poses.py:330-393, on
-    device). Non-overlap frames contribute zero weight to the Umeyama —
-    identical math to the host path's overlap-only concatenation."""
-    w = conf_g * conf_acc[idx_g] * done[idx_g][:, None]          # (S, P)
-    s, R, t = umeyama_sim3(
-        pred_g.reshape(-1, 3), pts_acc[idx_g].reshape(-1, 3), w.reshape(-1)
+    def body(g, carry):
+        pts_acc, conf_acc, done = carry
+        idx_g = jax.lax.dynamic_index_in_dim(groups_dev, g, keepdims=False)
+        pred_g = jax.lax.dynamic_index_in_dim(pred_flat, g, keepdims=False)
+        conf_g = jax.lax.dynamic_index_in_dim(conf_flat, g, keepdims=False)
+        # non-overlap frames contribute zero weight to the Umeyama —
+        # identical math to the host path's overlap-only concatenation
+        w = conf_g * conf_acc[idx_g] * done[idx_g][:, None]      # (S, P)
+        s, R, t = umeyama_sim3(
+            pred_g.reshape(-1, 3), pts_acc[idx_g].reshape(-1, 3), w.reshape(-1)
+        )
+        moved = s * pred_g @ R.T + t
+        return (pts_acc.at[idx_g].set(moved),
+                conf_acc.at[idx_g].set(conf_g),
+                done.at[idx_g].set(1.0))
+
+    pts_acc, conf_acc, done = jax.lax.fori_loop(
+        1, G, body, (pts_acc, conf_acc, done)
     )
-    moved = s * pred_g @ R.T + t
-    pts_acc = pts_acc.at[idx_g].set(moved)
-    conf_acc = conf_acc.at[idx_g].set(conf_g)
-    done = done.at[idx_g].set(1.0)
-    return pts_acc, conf_acc, done
 
+    # ---- host-PnP subsample: f16 points + bool mask (~4 MB -> ~3.7 MB
+    # fetch; pose quality is RANSAC-bound far above f16 quantization) ----
+    sub = pts_acc[:, sel].astype(jnp.float16)                    # (N, p_sub, 3)
+    sub_mask = conf_acc[:, sel] > 0.5                            # (N, p_sub)
 
-@jax.jit
-def _pw_sim3_batched_dev(pred_pts, pts_final, conf, conf_final, groups):
-    """Per-window sim3 (init_from_pts3d_group) batched over windows."""
+    # ---- per-window sim3 vs the FINAL placements, batched ----
     def one(pred_g, idx_g, conf_g):
         return umeyama_sim3(
             pred_g.reshape(-1, 3),
-            pts_final[idx_g].reshape(-1, 3),
-            (conf_g * conf_final[idx_g]).reshape(-1),
+            pts_acc[idx_g].reshape(-1, 3),
+            (conf_g * conf_acc[idx_g]).reshape(-1),
         )
-    return jax.vmap(one)(pred_pts, groups, conf)
+
+    s_all, R_all, t_all = jax.vmap(one)(pred_flat, groups_dev, conf_flat)
+    return (fov_x, fov_y, sub, sub_mask, s_all, R_all, t_all,
+            pts_acc, conf_acc)
 
 
-@jax.jit
-def _depth_init_dev(pts_final, conf_final, poses_c2w, s_factor):
-    """Per-frame depth from scaled world points + sky fill
-    (init_im_poses.py:588-629, on device)."""
-    pts = pts_final * s_factor                                   # (N, P, 3)
+@partial(jax.jit, static_argnames=("n_real",))
+def _init_write_dev(pts_acc, conf_acc, poses_c2w, s_factor, s_clip, R_all,
+                    t_all, log_depth, poses_p, pw_poses_p, n_real: int):
+    """Post-PnP device init as one launch: depth init from scaled world
+    points + sky fill (init_im_poses.py:588-629), the 7D pose codec for
+    all frame poses, and the 8D sim3 codec for all window pw_poses —
+    written straight into the (padded) parameter tensors."""
+    pts = pts_acc * s_factor                                     # (N, P, 3)
     w2c = inv_se3(poses_c2w)
     cam = jnp.einsum("nij,npj->npi", w2c[:, :3, :3], pts) + w2c[:, None, :3, 3]
     depth = cam[..., 2]                                          # (N, P)
     sky_distance = jnp.max(depth[0])
-    sky = conf_final < 1e-4
-    return jnp.where(sky, sky_distance, depth)
+    depth = jnp.where(conf_acc < 1e-4, sky_distance, depth)
+    d = jnp.nan_to_num(depth, nan=1.0, posinf=1e4, neginf=1e-6)
+    log_depth = log_depth.at[:n_real].set(
+        jnp.log(jnp.clip(d, 1e-6, 1e6))
+    )
+
+    poses_p = poses_p.at[:n_real].set(pose_to_params(poses_c2w))
+
+    G = R_all.shape[0]
+    T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (G, 1, 1))
+    T = T.at[:, :3, :3].set(R_all).at[:, :3, 3].set(t_all)
+    rows = jnp.concatenate(
+        [pose_to_params(T), jnp.log(s_clip)[:, None]], axis=-1
+    )
+    pw_poses_p = pw_poses_p.at[:G].set(rows)
+    return log_depth, poses_p, pw_poses_p
 
 
 def _init_from_group_device(
@@ -198,47 +238,33 @@ def _init_from_group_device(
     pred_flat = pred_pts.reshape(G, S, P, 3)
     conf_flat = conf.reshape(G, S, P)
 
-    # ---- focal recovery (device downsample, tiny fetch) ----
+    # ---- everything before PnP: ONE device launch + ONE batched fetch ----
+    p_sub = min(4 * 4096, P)
+    sel = np.random.default_rng(0).choice(P, size=p_sub, replace=False)
     dh = dw = 64
-    fov_x, fov_y = _focal_prep_dev(pred_pts[:, 0], conf[:, 0], dh, dw, H, W)
-    fx = 0.5 / np.tan(np.asarray(fov_x) / 2)
-    fy = 0.5 / np.tan(np.asarray(fov_y) / 2)
+    out = _init_gather_dev(
+        pred_flat, conf_flat, jnp.asarray(groups), jnp.asarray(sel),
+        dh, dw, H, W, N,
+    )
+    (fov_x, fov_y, sub, sub_conf_mask, s_all, R_all, t_all) = jax.device_get(
+        out[:7]
+    )
+    pts_acc, conf_acc = out[7], out[8]            # stay device-resident
+    mark("gather+fetch")
+
+    fx = 0.5 / np.tan(fov_x / 2)
+    fy = 0.5 / np.tan(fov_y / 2)
     focal = (fx * W + fy * H) / 2
     good = focal > 30
     mean_focal = focal[good].mean() if good.any() else float(max(H, W))
     rel_err = np.abs(focal - mean_focal) / (mean_focal + 1e-12)
     focal_group = np.where(rel_err > 0.6, mean_focal, focal)
-    mark("focal")
 
-    # ---- sequential window registration, all on device ----
-    pts_acc = jnp.zeros((N, P, 3), jnp.float32)
-    conf_acc = jnp.zeros((N, P), jnp.float32)
-    done = jnp.zeros((N,), jnp.float32)
-    idx0 = jnp.asarray(groups[0])
-    pts_acc = pts_acc.at[idx0].set(pred_flat[0])
-    conf_acc = conf_acc.at[idx0].set(conf_flat[0])
-    done = done.at[idx0].set(1.0)
-    for g in range(1, G):
-        pts_acc, conf_acc, done = _register_window_dev(
-            pts_acc, conf_acc, done, pred_flat[g], conf_flat[g],
-            jnp.asarray(groups[g]),
-        )
-
-    mark("register")
-
-    # ---- host PnP on a device-side point subsample ----
-    # RANSAC-PnP needs a few thousand correspondences, not megapixel maps:
-    # gather a fixed seeded pixel subset ON DEVICE and fetch only
-    # (N, P_sub) tensors (~4 MB vs ~19 MB for the old stride-2 map fetch).
-    p_sub = min(4 * 4096, P)
-    sel = np.random.default_rng(0).choice(P, size=p_sub, replace=False)
-    sel_dev = jnp.asarray(sel)
-    sub = np.asarray(pts_acc[:, sel_dev])                        # (N, p_sub, 3)
-    sub_conf = np.asarray(conf_acc[:, sel_dev])                  # (N, p_sub)
+    sub = np.asarray(sub, np.float32)                            # (N, p_sub, 3)
     x_pix = (sel % W).astype(np.float64)
     y_pix = (sel // W).astype(np.float64)
     sub_pix = np.stack([x_pix, y_pix], -1)                       # (p_sub, 2)
-    mark("fetch")
+    mark("focal")
     im_poses = np.tile(np.eye(4), (N, 1, 1))
     im_focals: List[Optional[float]] = [None] * N
     window_start = {int(groups[g, 0]): g for g in range(G)}
@@ -258,7 +284,7 @@ def _init_from_group_device(
 
     def solve(i):
         warm = None if np.isnan(warm_of[i]) else float(warm_of[i])
-        m = sub_conf[i] > 0.5
+        m = sub_conf_mask[i]
         return i, fast_pnp_points(
             sub[i][m], sub_pix[m], (W, H), focal=warm, niter=niter_pnp,
         )
@@ -276,24 +302,23 @@ def _init_from_group_device(
 
     mark("pnp")
 
-    # ---- per-window sim3 + global scale normalization ----
-    s_all, R_all, t_all = _pw_sim3_batched_dev(
-        pred_flat, pts_acc, conf_flat, conf_acc, jnp.asarray(groups)
-    )
-    s_np = np.clip(np.asarray(s_all), 1e-6, 1e6)
-    aligner.set_pw_poses_all(s_np, np.asarray(R_all), np.asarray(t_all))
+    # ---- everything after PnP: ONE device launch writes the params ----
+    s_np = np.clip(s_all, 1e-6, 1e6)
     s_factor = float(np.exp(np.log(cfg.base_scale) - np.mean(np.log(s_np))))
     if not np.isfinite(s_factor):
         s_factor = 1.0
     im_poses[:, :3, 3] *= s_factor
 
-    # ---- depth init on device, params written batched ----
-    depths = _depth_init_dev(
+    log_depth, poses_p, pw_poses_p = _init_write_dev(
         pts_acc, conf_acc, jnp.asarray(im_poses, jnp.float32),
-        jnp.asarray(s_factor, jnp.float32),
+        jnp.asarray(s_factor, jnp.float32), jnp.asarray(s_np, jnp.float32),
+        jnp.asarray(R_all), jnp.asarray(t_all),
+        aligner.params["log_depth"], aligner.params["poses"],
+        aligner.params["pw_poses"], aligner.N,
     )
-    aligner.set_depthmaps_dev(depths)
-    aligner.set_poses_all(im_poses)
+    aligner.params["log_depth"] = log_depth
+    aligner.params["poses"] = poses_p
+    aligner.params["pw_poses"] = pw_poses_p
 
     if cfg.shared_focal:
         vals = [f for f in im_focals if f is not None]

@@ -383,6 +383,89 @@ def _calibrate_depth_dev(log_depth, invdepth, weights, e_all, S,
     return s, t, delta
 
 
+@partial(jax.jit, static_argnames=(
+    "Gp", "Np", "N", "n_f", "H", "W", "focal_init", "has_depth", "has_traj",
+))
+def _stage_ctor_dev(pred_pts, weights, invdepth, trajs, groups_pad,
+                    Gp: int, Np: int, N: int, n_f: int, H: int, W: int,
+                    focal_init: float, has_depth: bool, has_traj: bool):
+    """ALL of the ctor's device work as one launch.
+
+    The eager staging chain (pads, transpose, one-hot, segment_max, grid,
+    parameter tiles) was ~25 separate dispatches — each a host round trip
+    on a remote-device tunnel, dominating warm construction time. Inputs
+    may be device-resident diffusion outputs (never bounced through host)
+    or host numpy (uploaded once as jit operands). `invdepth`/`trajs` are
+    (1,)-dummies when absent (static flags gate their use)."""
+    S = groups_pad.shape[1]
+    P = H * W
+    weights = jnp.reshape(jnp.asarray(weights, jnp.float32), (-1, S, P))
+    G = weights.shape[0]
+
+    def pad_g(a, fill=0.0):
+        a = jnp.asarray(a, jnp.float32)
+        if Gp == G:
+            return a
+        pad = jnp.full((Gp - G,) + a.shape[1:], fill, jnp.float32)
+        return jnp.concatenate([a, pad], axis=0)
+
+    out = {
+        # SoA: coordinate axis LEADING so the (S, P) minor dims tile fully
+        # on TPU (trailing xyz would waste 125/128 lanes and cost relayout
+        # copies every loss iteration)
+        "pred_pts": jnp.transpose(
+            pad_g(jnp.reshape(jnp.asarray(pred_pts, jnp.float32),
+                              (G, S, P, 3))), (3, 0, 1, 2)
+        ),
+        "weights": pad_g(weights),
+        "e_all": groups_pad.reshape(-1),
+        # one-hot frame-selection matrix for `_gather_frames` (the
+        # MXU-matmul replacement for gather/scatter-add in the loss)
+        "e_onehot": (groups_pad.reshape(-1)[:, None]
+                     == jnp.arange(Np)[None, :]).astype(jnp.float32),
+    }
+    if has_depth:
+        out["invdepth"] = pad_g(jnp.reshape(
+            jnp.asarray(invdepth, jnp.float32), (G, S, P)))
+    if has_traj:
+        t_pad = jnp.reshape(jnp.asarray(trajs, jnp.float32), (G, S, 4, 4))
+        if Gp > G:
+            eye = jnp.tile(jnp.eye(4, dtype=jnp.float32), (Gp - G, S, 1, 1))
+            t_pad = jnp.concatenate([t_pad, eye], axis=0)
+        out["trajs"] = t_pad
+
+    # per-frame max confidence across windows (base_opt_group.py:236-242)
+    out["im_conf"] = jnp.maximum(
+        jax.ops.segment_max(
+            out["weights"][:G].reshape(G * S, P),
+            groups_pad[:G].reshape(-1), num_segments=N,
+        ),
+        0.0,
+    )
+    pix = jnp.arange(P, dtype=jnp.float32)
+    out["grid"] = jnp.stack([pix % W, pix // W], axis=0)        # (2, P) SoA
+    out["pp"] = jnp.full((Np, 2), 0.0).at[:, 0].set(W / 2).at[:, 1].set(H / 2)
+    out["group_valid"] = (jnp.arange(Gp) < G).astype(jnp.float32)
+    out["frame_valid"] = (jnp.arange(Np) < N).astype(jnp.float32)
+
+    out["params"] = {
+        # same N(0, 0.1)-3 init as the host rng (values differ; the init
+        # chain overwrites every real row before optimization anyway)
+        "log_depth": jax.random.normal(
+            jax.random.PRNGKey(0), (Np, P), jnp.float32) / 10 - 3,
+        "poses": jnp.tile(
+            jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32), (Np, 1)),
+        "pw_poses": jnp.tile(
+            jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0], jnp.float32), (Gp, 1)),
+        "traj_align": jnp.tile(
+            jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0], jnp.float32), (Gp, 1)),
+        "focal": jnp.full((n_f,), focal_init, jnp.float32),
+        "s_depth": jnp.ones((Gp,), jnp.float32),
+        "t_depth": jnp.zeros((Gp,), jnp.float32),
+    }
+    return out
+
+
 class GroupAligner:
     """Functional optimizer over stacked window predictions.
 
@@ -422,54 +505,36 @@ class GroupAligner:
         self.Gp = _round_up(self.G, config.bucket_groups)
         self.Np = _round_up(self.N, config.bucket_frames)
 
-        def pad_g(a, fill=0.0):
-            """Pad the group axis ON DEVICE: inputs may be device-resident
-            jax arrays straight from the diffusion stage — never bounce
-            them through host numpy (a ~230 MB round trip on a remote
-            link)."""
-            a = jnp.asarray(a, jnp.float32)
-            if self.Gp == self.G:
-                return a
-            pad = jnp.full((self.Gp - self.G,) + a.shape[1:], fill, jnp.float32)
-            return jnp.concatenate([a, pad], axis=0)
-
         # padded windows index a padded frame so their (zero-weight) terms
         # never touch real frames
         groups_pad = np.full((self.Gp, self.S), self.Np - 1, np.int32)
         groups_pad[: self.G] = self.groups
 
-        self.buf = {
-            # SoA: coordinate axis LEADING so the (S, P) minor dims tile
-            # fully on TPU (trailing xyz would waste 125/128 lanes and
-            # cost relayout copies every loss iteration)
-            "pred_pts": jnp.transpose(
-                pad_g(jnp.asarray(pred_pts).reshape(self.G, self.S, self.P, 3)),
-                (3, 0, 1, 2),
-            ),
-            "weights": pad_g(
-                jnp.asarray(weights).reshape(self.G, self.S, self.P)
-            ),
-            "e_all": jnp.asarray(groups_pad.reshape(-1)),
-            # one-hot frame-selection matrix for `_gather_frames` (the
-            # MXU-matmul replacement for gather/scatter-add in the loss)
-            "e_onehot": jnp.asarray(
-                (groups_pad.reshape(-1)[:, None]
-                 == np.arange(self.Np)[None, :]).astype(np.float32)
-            ),
-        }
         self.has_depth = invdepth is not None
         self.has_traj = trajs is not None
+        n_f = 1 if config.shared_focal else self.Np
+
+        # ALL device staging as one launch (see _stage_ctor_dev) — inputs
+        # may be device-resident diffusion outputs (never bounced through
+        # host numpy, a ~230 MB round trip on a remote link)
+        dummy = np.zeros((1,), np.float32)
+        staged = _stage_ctor_dev(
+            pred_pts, weights,
+            invdepth if self.has_depth else dummy,
+            trajs if self.has_traj else dummy,
+            jnp.asarray(groups_pad),
+            Gp=self.Gp, Np=self.Np, N=self.N, n_f=n_f, H=self.H, W=self.W,
+            focal_init=float(config.focal_break * np.log(max(self.H, self.W))),
+            has_depth=self.has_depth, has_traj=self.has_traj,
+        )
+        self.buf = {
+            k: staged[k]
+            for k in ("pred_pts", "weights", "e_all", "e_onehot")
+        }
         if self.has_depth:
-            self.buf["invdepth"] = pad_g(
-                jnp.asarray(invdepth).reshape(self.G, self.S, self.P)
-            )
+            self.buf["invdepth"] = staged["invdepth"]
         if self.has_traj:
-            t_pad = jnp.asarray(trajs, jnp.float32).reshape(self.G, self.S, 4, 4)
-            if self.Gp > self.G:
-                eye = jnp.tile(jnp.eye(4, dtype=jnp.float32),
-                               (self.Gp - self.G, self.S, 1, 1))
-                t_pad = jnp.concatenate([t_pad, eye], axis=0)
-            self.buf["trajs"] = t_pad
+            self.buf["trajs"] = staged["trajs"]
 
         self.has_flow = (
             target_flows is not None and config.flow_loss_weight > 0
@@ -486,60 +551,24 @@ class GroupAligner:
             self.buf["flow_masks"] = jnp.asarray(fm)
 
         # per-frame max confidence across windows (base_opt_group.py:236-242)
-        # — one device segment_max; the (N, P) host FETCH (~0.6 s on a
-        # remote link) is deferred until a getter/export actually needs it,
-        # keeping it off the timed alignment path
-        self._im_conf_dev = jnp.maximum(
-            jax.ops.segment_max(
-                self.buf["weights"][: self.G].reshape(self.G * self.S, self.P),
-                jnp.asarray(self.groups.reshape(-1)),
-                num_segments=self.N,
-            ),
-            0.0,
-        )
+        # — the (N, P) host FETCH (~0.6 s on a remote link) is deferred
+        # until a getter/export actually needs it, keeping it off the
+        # timed alignment path
+        self._im_conf_dev = staged["im_conf"]
         self._im_conf: Optional[np.ndarray] = None
         self._init_conf: Optional[np.ndarray] = None
 
-        x, y = np.meshgrid(np.arange(self.W), np.arange(self.H))
-        self.grid = jnp.asarray(                       # (2, P) SoA
-            np.stack([x, y], 0).reshape(2, self.P).astype(np.float32)
-        )
-        self.pp = jnp.asarray(
-            np.tile([[self.W / 2, self.H / 2]], (self.Np, 1)).astype(np.float32)
-        )
+        self.grid = staged["grid"]
+        self.pp = staged["pp"]
         # loss normalizer uses REAL area (padding must not dilute the loss)
         self.total_area = float(self.G * self.S * self.P)
-        self.group_valid = jnp.asarray(
-            (np.arange(self.Gp) < self.G).astype(np.float32)
-        )
-        self.frame_valid = jnp.asarray(
-            (np.arange(self.Np) < self.N).astype(np.float32)
-        )
+        self.group_valid = staged["group_valid"]
+        self.frame_valid = staged["frame_valid"]
 
-        n_f = 1 if config.shared_focal else self.Np
-        self.params = {
-            "log_depth": jnp.asarray(
-                np.random.default_rng(0).normal(size=(self.Np, self.P)) / 10 - 3,
-                jnp.float32,
-            ),
-            "poses": jnp.tile(
-                jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32), (self.Np, 1)
-            ),
-            "pw_poses": jnp.tile(
-                jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0], jnp.float32), (self.Gp, 1)
-            ),
-            "traj_align": jnp.tile(
-                jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0], jnp.float32), (self.Gp, 1)
-            ),
-            "focal": jnp.full(
-                (n_f,), config.focal_break * np.log(max(self.H, self.W)), jnp.float32
-            ),
-            "s_depth": jnp.ones((self.Gp,), jnp.float32),
-            "t_depth": jnp.zeros((self.Gp,), jnp.float32),
-        }
+        self.params = staged["params"]
         self.focal_frozen = False
         # phase-2 group validity gates (filled by calibration)
-        self.valid_depth_group = jnp.asarray(self.group_valid)
+        self.valid_depth_group = self.group_valid
         self.valid_traj_group = jnp.zeros((self.Gp,), jnp.float32)
 
     # ---------------- lazy per-frame confidence ----------------
