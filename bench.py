@@ -497,8 +497,8 @@ def main():
               f"{diff_s:.1f}s (delta {diff_random_s - diff_s:+.1f}s)",
               file=sys.stderr)
     except Exception as e:
-        print(f"# random-params probe unavailable: {type(e).__name__}: "
-              f"{e}"[:300], file=sys.stderr)
+        msg = f"{type(e).__name__}: {e}"[:300]
+        print(f"# random-params probe unavailable: {msg}", file=sys.stderr)
 
     e2e_s = diff_s + align_s
     frames_per_sec = N_FRAMES / e2e_s

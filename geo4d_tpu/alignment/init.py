@@ -152,8 +152,12 @@ def _init_gather_dev(pred_flat, conf_flat, groups_dev, sel,
     )
 
     # ---- host-PnP subsample: f16 points + bool mask (~4 MB -> ~3.7 MB
-    # fetch; pose quality is RANSAC-bound far above f16 quantization) ----
-    sub = pts_acc[:, sel].astype(jnp.float16)                    # (N, p_sub, 3)
+    # fetch; pose quality is RANSAC-bound far above f16 quantization).
+    # Clamp BEFORE the cast: per-window sim3 scale is unbounded here, and
+    # |coord| > 65504 would overflow to inf — passing fast_pnp's np.ptp
+    # degeneracy guard but making cv2.solvePnPRansac fail, silently
+    # degrading those frames to identity-pose init. ----
+    sub = jnp.clip(pts_acc[:, sel], -6e4, 6e4).astype(jnp.float16)  # (N,p,3)
     sub_mask = conf_acc[:, sel] > 0.5                            # (N, p_sub)
 
     # ---- per-window sim3 vs the FINAL placements, batched ----

@@ -23,11 +23,15 @@ import numpy as np
 
 
 def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Median over masked entries (static-shape friendly: sorts with +inf)."""
+    """Median over masked entries (static-shape friendly: sorts with +inf).
+
+    Index (n-1)//2 = the LOWER middle element for even counts — exactly
+    torch.median's convention, which every reference alignment seeds from
+    (depth_eval.py:228,272; numpy would average the two middles)."""
     big = jnp.where(mask, x, jnp.inf)
     order = jnp.sort(big)
     n = jnp.sum(mask)
-    return order[jnp.maximum(n // 2, 0)]
+    return order[jnp.maximum((n - 1) // 2, 0)]
 
 
 @partial(jax.jit, static_argnames=("max_iters",))
@@ -214,7 +218,10 @@ def depth_evaluation(
     if max_depth is not None:
         valid &= gt < max_depth
     metric_mask = valid if custom_mask is None else (valid & custom_mask.reshape(-1))
-    fit_mask = metric_mask if align_mask is None else (valid & align_mask.reshape(-1))
+    # Reference semantics (depth_eval.py:190-192,296-300): custom_mask
+    # restricts METRICS only — alignment fits on all valid pixels unless an
+    # explicit align_mask narrows it (infer_geo4d.py:535-540).
+    fit_mask = valid if align_mask is None else (valid & align_mask.reshape(-1))
 
     pj, gj, mj = jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(fit_mask)
     if align == "lad2":
