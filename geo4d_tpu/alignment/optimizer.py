@@ -35,6 +35,7 @@ of similar length instead of recompiling per (G, N).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -54,6 +55,12 @@ from geo4d_tpu.geometry.se3 import (
     signed_log1p,
 )
 from geo4d_tpu.geometry.utils import inv_se3
+
+logger = logging.getLogger("geo4d_tpu.alignment")
+# (Gp, Np, S, P) shape buckets constructed in this process — one INFO line
+# per NEW bucket makes compile-cache behavior observable in run logs
+# (VERDICT r4 item 8)
+_SEEN_BUCKETS: set = set()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -504,6 +511,7 @@ class GroupAligner:
         # padded (bucketed) dims
         self.Gp = _round_up(self.G, config.bucket_groups)
         self.Np = _round_up(self.N, config.bucket_frames)
+        self._log_bucket()
 
         # padded windows index a padded frame so their (zero-weight) terms
         # never touch real frames
@@ -570,6 +578,28 @@ class GroupAligner:
         # phase-2 group validity gates (filled by calibration)
         self.valid_depth_group = self.group_valid
         self.valid_traj_group = jnp.zeros((self.Gp,), jnp.float32)
+
+    # ---------------- compile-bucket telemetry ----------------
+
+    def bucket_key(self) -> tuple:
+        """The shape signature the phase-scan executables are keyed by:
+        sequences sharing it reuse ONE compile (the bucketing claim at the
+        top of this file, now observable)."""
+        return (self.Gp, self.Np, self.S, self.P,
+                self.has_depth, self.has_traj, self.has_flow)
+
+    def _log_bucket(self):
+        # has_depth/... not set yet at the __init__ call site — log the
+        # shape part, which is what determines compile cost
+        key = (self.Gp, self.Np, self.S, self.P)
+        new = key not in _SEEN_BUCKETS
+        _SEEN_BUCKETS.add(key)
+        logger.info(
+            "aligner bucket Gp=%d Np=%d S=%d P=%d (G=%d N=%d) — %s",
+            self.Gp, self.Np, self.S, self.P, self.G, self.N,
+            "NEW this process (phase scans will compile)" if new
+            else "reused (no recompile)",
+        )
 
     # ---------------- lazy per-frame confidence ----------------
 

@@ -25,8 +25,14 @@ import numpy as np
 CONTEXT_LENGTH = 77
 VOCAB_SIZE = 49408
 
+# OpenCLIP SimpleTokenizer word pattern (tokenizer.py):
+#   <specials> | contractions | \p{L}+ | \p{N} | [^\s\p{L}\p{N}]+
+# Python-re equivalents: [^\W\d_]+ for \p{L}+, \d for a SINGLE digit
+# (CLIP tokenizes "123" as three tokens), (?:[^\s\w]|_)+ for the
+# punctuation class (underscore is not \p{L}).
 _TOKEN_RE = re.compile(
-    r"<start_of_text>|<end_of_text>|'s|'t|'re|'ve|'m|'ll|'d|[\w]+|[^\s\w]+",
+    r"<start_of_text>|<end_of_text>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
     re.IGNORECASE,
 )
 

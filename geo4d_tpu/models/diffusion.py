@@ -102,6 +102,67 @@ class GeoDiffusion:
         )
         return z.reshape(b, *z.shape[2:])
 
+    def encode_frames_chunked(
+        self, params, frames: jax.Array, key: Optional[jax.Array] = None,
+        chunk: int = 16,
+    ) -> jax.Array:
+        """Encode a FLAT frame axis (N, H, W, 3) -> (N, h, w, 4) latents,
+        `chunk` frames per `lax.map` step (caps encoder activations at one
+        window's working set for arbitrarily long videos)."""
+        n = frames.shape[0]
+        pad = (-n) % chunk
+        fp = jnp.pad(frames, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        nb = fp.shape[0] // chunk
+        fb = fp.reshape(nb, chunk, *frames.shape[1:])
+        if nb == 1:
+            z = self.encode_first_stage(params, fb, key)
+        else:
+            keys = (jax.random.split(key, nb) if key is not None
+                    else jnp.zeros((nb, 2), jnp.uint32))
+
+            def one(args):
+                f, k = args
+                kk = k if key is not None else None
+                return self.encode_first_stage(params, f[None], kk)
+
+            z = jax.lax.map(one, (fb, keys))
+        return z.reshape(nb * chunk, *z.shape[-3:])[:n]
+
+    def clip_tokens_chunked(
+        self, params, frames: jax.Array, chunk: int = 16
+    ) -> jax.Array:
+        """CLIP ViT-H tokens over a FLAT frame axis: (N, H, W, 3) [-1,1]
+        -> (N, 257, 1280), `chunk` frames per `lax.map` step.
+
+        The vision tower is per-frame — only the resampler is NOT (its
+        query bank is window-POSITION dependent, resampler.py:137-140:
+        frame k reads query slice k), so callers gather these tokens into
+        windows and run the resampler per window."""
+        from geo4d_tpu.nn.clip import clip_preprocess
+
+        n = frames.shape[0]
+        pad = (-n) % chunk
+        fp = jnp.pad(frames, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        nb = fp.shape[0] // chunk
+
+        def clip_batch(f):
+            return self.image_encoder.apply(
+                params["clip_img"], clip_preprocess(f)
+            )
+
+        if nb == 1:
+            tok = clip_batch(fp)
+        else:
+            tok = jax.lax.map(
+                clip_batch, fp.reshape(nb, chunk, *frames.shape[1:])
+            )
+            tok = tok.reshape(nb * chunk, *tok.shape[2:])
+        return tok[:n]
+
+    def resample_tokens(self, params, tokens: jax.Array) -> jax.Array:
+        """(B, T, 257, 1280) CLIP tokens -> (B, T*16, 1024) image context."""
+        return self.resampler.apply(params["resampler"], tokens)
+
     def decode_pointmap_conf(self, params, z: jax.Array) -> jax.Array:
         """4-ch pointmap latents -> (…, 4) = [xyz | confidence].
 

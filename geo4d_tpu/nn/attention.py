@@ -45,6 +45,17 @@ def dot_product_attention(
         if out is not None:
             return out
 
+    if use_flash and mask is None and q.shape[1] <= 32 and k.shape == q.shape:
+        # tiny-seq self-attention (temporal path, seq = 16): 16x16 batched
+        # matmuls keep 1/64 of the MXU busy — merge pixels into dense
+        # block-diagonal-masked 128-wide attention instead (bit-exact;
+        # ops/small_seq_attention.py)
+        from geo4d_tpu.ops.small_seq_attention import small_seq_attention
+
+        out = small_seq_attention(q, k, v, max(1, 128 // q.shape[1]))
+        if out is not None:
+            return out
+
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale

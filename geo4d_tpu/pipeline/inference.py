@@ -61,6 +61,8 @@ class InferenceConfig:
     invalid_conf: float = 999.0
     window_batch: int = 1        # windows per device launch (raise on big chips)
     keep_plucker_maps: bool = False  # also return raw ray/cross maps (debug)
+    sample_posterior: bool = True    # sample the VAE posterior (ddpm3d.py:674-681);
+                                     # False = mode (deterministic cross-checks)
 
 
 class WindowPredictor:
@@ -89,6 +91,27 @@ class WindowPredictor:
             self._repl = None
         self.params = params
 
+    def _tail_fn(self, params, ctx, uncond_ctx, uncond_img_ctx, z_video,
+                 fs, key_samp, x_T=None):
+        """Shared post-conditioning compute: DDIM scan -> 4-head decode ->
+        masking/denormalization/Plücker cameras, all in-jit."""
+        cfg = self.cfg
+        model = self.model
+        samples = model.sample_window(
+            params, key_samp, ctx, z_video, fs,
+            uncond_context=uncond_ctx,
+            uncond_img_context=uncond_img_ctx,
+            num_steps=cfg.ddim_steps,
+            timestep_spacing=cfg.timestep_spacing,
+            eta=cfg.ddim_eta,
+            cfg_scale=cfg.cfg_scale,
+            cfg_img=cfg.cfg_img,
+            guidance_rescale=cfg.guidance_rescale,
+            x_T=x_T,
+        )
+        dec = model.decode_geometry(params, samples)
+        return self._postprocess(dec)
+
     def _window_fn(self):
         cfg = self.cfg
         model = self.model
@@ -111,6 +134,8 @@ class WindowPredictor:
             bcast = lambda c: jnp.broadcast_to(c, (b, *c.shape[1:]))
             ctx = jnp.concatenate([bcast(text_ctx), img_ctx], axis=1)
             key_enc, key_samp = jax.random.split(key)
+            if not cfg.sample_posterior:
+                key_enc = None
             z_video = model.encode_first_stage_chunked(params, frames, key_enc)
 
             # CFG branches (test_geo4d.py:172-199): uncond = empty-prompt
@@ -128,72 +153,112 @@ class WindowPredictor:
                         [bcast(uncond_text_ctx), img_ctx], axis=1
                     )
 
-            samples = model.sample_window(
-                params, key_samp, ctx, z_video, fs,
-                uncond_context=uncond_ctx,
-                uncond_img_context=uncond_img_ctx,
-                num_steps=cfg.ddim_steps,
-                timestep_spacing=cfg.timestep_spacing,
-                eta=cfg.ddim_eta,
-                cfg_scale=cfg.cfg_scale,
-                cfg_img=cfg.cfg_img,
-                guidance_rescale=cfg.guidance_rescale,
-                x_T=x_T,
-            )
-            dec = model.decode_geometry(params, samples)
-
-            # ---- masking + denormalization (fused on device) ----
-            pc = dec["pointmap_conf"]
-            pts, conf_raw = pc[..., :3], pc[..., 3]
-            conf = jax.nn.softplus(conf_raw)
-            invalid = sky_mask(pts, cfg.sky_value, cfg.sky_eps) | far_mask(
-                pts, cfg.far_value
-            )
-            conf = jnp.where(invalid, cfg.invalid_conf, conf)
-            inv_conf = jnp.where(invalid, 0.0, 1.0 / conf)
-            pts = denormalize_pointcloud_bbox2(
-                pts, cfg.denorm_alpha, cfg.denorm_beta
-            )
-            inv_depth = denormalize_inverse_depth(dec["inv_depth"][..., 0])
-            # diffusion cameras recovered INSIDE the jit: avoids fetching the
-            # 6 ray/cross channels to host (~50 MB/window on a remote link)
-            # and a separate device launch per window
-            traj = jax.vmap(
-                lambda r, m: cameras_from_plucker(r, m)[0]
-            )(dec["raymap"], dec["crossmap"])
-            # finite guards IN-JIT: degenerate samples (random/corrupt
-            # weights) must not poison the downstream solvers, and guarding
-            # here keeps the outputs device-resident for the aligner
-            pts = jnp.clip(
-                jnp.nan_to_num(pts, nan=0.0, posinf=1e4, neginf=-1e4),
-                -1e4, 1e4,
-            )
-            inv_conf = jnp.clip(jnp.nan_to_num(inv_conf, nan=0.0), 0.0, 1e6)
-            inv_depth = jnp.nan_to_num(inv_depth, nan=0.0)
-            traj = jnp.nan_to_num(traj, nan=0.0)
-            out = {
-                "pts3d": pts,
-                "conf": inv_conf,
-                "valid": ~invalid,
-                "inv_depth": inv_depth,
-                "traj": traj,
-            }
-            if cfg.keep_plucker_maps:
-                out["raymap"] = dec["raymap"]
-                out["crossmap"] = dec["crossmap"]
-            return out
+            return self._tail_fn(params, ctx, uncond_ctx, uncond_img_ctx,
+                                 z_video, fs, key_samp, x_T)
 
         return run
 
+    def _postprocess(self, dec):
+        cfg = self.cfg
+
+        # ---- masking + denormalization (fused on device) ----
+        pc = dec["pointmap_conf"]
+        pts, conf_raw = pc[..., :3], pc[..., 3]
+        conf = jax.nn.softplus(conf_raw)
+        invalid = sky_mask(pts, cfg.sky_value, cfg.sky_eps) | far_mask(
+            pts, cfg.far_value
+        )
+        conf = jnp.where(invalid, cfg.invalid_conf, conf)
+        inv_conf = jnp.where(invalid, 0.0, 1.0 / conf)
+        pts = denormalize_pointcloud_bbox2(
+            pts, cfg.denorm_alpha, cfg.denorm_beta
+        )
+        inv_depth = denormalize_inverse_depth(dec["inv_depth"][..., 0])
+        # diffusion cameras recovered INSIDE the jit: avoids fetching the
+        # 6 ray/cross channels to host (~50 MB/window on a remote link)
+        # and a separate device launch per window
+        traj = jax.vmap(
+            lambda r, m: cameras_from_plucker(r, m)[0]
+        )(dec["raymap"], dec["crossmap"])
+        # finite guards IN-JIT: degenerate samples (random/corrupt
+        # weights) must not poison the downstream solvers, and guarding
+        # here keeps the outputs device-resident for the aligner
+        pts = jnp.clip(
+            jnp.nan_to_num(pts, nan=0.0, posinf=1e4, neginf=-1e4),
+            -1e4, 1e4,
+        )
+        inv_conf = jnp.clip(jnp.nan_to_num(inv_conf, nan=0.0), 0.0, 1e6)
+        inv_depth = jnp.nan_to_num(inv_depth, nan=0.0)
+        traj = jnp.nan_to_num(traj, nan=0.0)
+        out = {
+            "pts3d": pts,
+            "conf": inv_conf,
+            "valid": ~invalid,
+            "inv_depth": inv_depth,
+            "traj": traj,
+        }
+        if cfg.keep_plucker_maps:
+            out["raymap"] = dec["raymap"]
+            out["crossmap"] = dec["crossmap"]
+        return out
+
     def _video_fn(self):
         """Like `_window_fn` but takes the FULL video + per-window frame
-        indices and gathers windows ON DEVICE: stride-4 windows overlap 75%,
-        so uploading the video once instead of per-window frame stacks cuts
-        host->device traffic ~4x."""
-        run = self._window_fn()
+        indices; the frame-level towers run over UNIQUE frames exactly once.
+
+        Stride-4 windows overlap 75%, so the per-window path runs the CLIP
+        vision tower and the VAE encoder on every frame up to 4x (2.5x at
+        the bench shapes). Both are per-frame independent (condition.py
+        :342-372 per-frame ViT; ddpm3d.py:683-707 perframe encode), so:
+        upload the video once, CLIP-tokenize + VAE-encode each frame once,
+        and GATHER the per-frame latents/tokens into windows on device —
+        identical math with ~60% less conditioning compute at 75% overlap.
+        The RESAMPLER still runs per window: its query bank is window-
+        position dependent (resampler.py:137-140 — frame k reads query
+        slice k), so a frame's image-context tokens legitimately differ
+        between windows.
+        """
+        cfg = self.cfg
+        model = self.model
 
         def run_video(params, video, gidx, text_ctx, uncond_text_ctx, fs, key):
-            return run(params, video[gidx], text_ctx, uncond_text_ctx, fs, key)
+            if video.dtype == jnp.uint8:
+                video = (video.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+            g, t = gidx.shape
+            tok = model.clip_tokens_chunked(params, video)    # (N, 257, 1280)
+            img_ctx = model.resample_tokens(params, tok[gidx])  # (G, T*16, C)
+            bcast = lambda c: jnp.broadcast_to(c, (g, *c.shape[1:]))
+            ctx = jnp.concatenate([bcast(text_ctx), img_ctx], axis=1)
+            key_enc, key_samp = jax.random.split(key)
+            # posterior noise is per unique frame (the reference re-samples
+            # per window; parity is metric-level — SURVEY §7 PRNG discipline)
+            if not cfg.sample_posterior:
+                key_enc = None
+            z_frames = model.encode_frames_chunked(params, video, key_enc)
+            z_video = z_frames[gidx]                          # (G, T, h, w, 4)
+
+            uncond_ctx = None
+            uncond_img_ctx = None
+            if cfg.cfg_scale != 1.0:
+                # the zero-image embedding is identical for every frame:
+                # embed ONE zero frame and broadcast to (G, T*16, C)
+                zero_tok = model.embed_frames(
+                    params, jnp.zeros((1, 1) + video.shape[1:], video.dtype)
+                )                                              # (1, 16, C)
+                zeros_img = jnp.broadcast_to(
+                    jnp.tile(zero_tok, (1, t, 1)),
+                    (g, t * 16, zero_tok.shape[-1]),
+                )
+                uncond_ctx = jnp.concatenate(
+                    [bcast(uncond_text_ctx), zeros_img], axis=1
+                )
+                if cfg.cfg_img is not None and cfg.cfg_img != 1.0:
+                    uncond_img_ctx = jnp.concatenate(
+                        [bcast(uncond_text_ctx), img_ctx], axis=1
+                    )
+
+            return self._tail_fn(params, ctx, uncond_ctx, uncond_img_ctx,
+                                 z_video, fs, key_samp)
 
         return run_video
 

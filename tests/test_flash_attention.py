@@ -41,3 +41,39 @@ def test_dispatch_gating():
     ref = dot_product_attention(q, k, v, use_flash=False)
     assert np.allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
                        atol=2e-3)
+
+
+def test_small_seq_block_diagonal_exact():
+    """The block-diagonal tiny-seq path (ops/small_seq_attention.py)
+    matches the per-pixel einsum attention to one bf16 output ulp: the
+    masked logits exp to exactly zero, so cross-pixel weights vanish —
+    only the final rounding can differ (and measured 0.00e+00 on TPU at
+    the UNet shapes, scripts/exp_tiny_attn.py)."""
+    from geo4d_tpu.ops.small_seq_attention import small_seq_attention
+
+    for b, n, h, d, px in [(24, 16, 5, 64, 8), (7, 16, 2, 32, 8),
+                           (5, 12, 3, 64, 4), (3, 32, 1, 16, 4)]:
+        q, k, v = _qkv(b, n, h, d)
+        out = small_seq_attention(q, k, v, px)
+        ref = dot_product_attention(q, k, v, use_flash=False)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=4.1e-3, rtol=1e-2,
+            err_msg=f"b={b} n={n} h={h} d={d} px={px}",
+        )
+
+
+def test_small_seq_dispatch():
+    """dot_product_attention routes tiny self-attention through the
+    block-diagonal path; cross-attention (k seq != q seq) does not."""
+    q, k, v = _qkv(6, 16, 4, 64)
+    out = dot_product_attention(q, k, v, use_flash=True)
+    ref = dot_product_attention(q, k, v, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-3)
+    # cross-attn shape (k longer than q) falls through to the einsum path
+    kc, vc = _qkv(6, 24, 4, 64)[0], _qkv(6, 24, 4, 64)[1]
+    out2 = dot_product_attention(q, kc, vc, use_flash=True)
+    ref2 = dot_product_attention(q, kc, vc, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out2, np.float32),
+                               np.asarray(ref2, np.float32), atol=2e-3)

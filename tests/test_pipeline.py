@@ -153,11 +153,15 @@ def test_glb_writer(tmp_path):
 
 
 def test_predict_video_matches_predict_windows(tiny_setup):
-    """The on-device window-gather path must produce exactly what the
-    per-window-stack path does (same chunking -> same RNG stream), and
-    return_device must change only the array type."""
+    """The deduped unique-frame path (predict_video: CLIP/VAE-encode each
+    frame once, gather into windows) must produce exactly what the
+    per-window-stack path does, and return_device must change only the
+    array type. Posterior sampling is disabled (mode): the two paths
+    deliberately draw encode noise differently (per unique frame vs per
+    window-frame) — everything else must be bit-for-bit comparable."""
     model, params, (H, W, T) = tiny_setup
-    cfg = InferenceConfig(window=T, stride=2, ddim_steps=2, window_batch=1)
+    cfg = InferenceConfig(window=T, stride=2, ddim_steps=2, window_batch=1,
+                          sample_posterior=False)
     predictor = WindowPredictor(model, params, cfg)
     frames = np.random.default_rng(3).normal(
         scale=0.3, size=(T + 4, H, W, 3)
