@@ -271,6 +271,12 @@ class WindowPredictor:
         cache = self.model.__dict__.setdefault("_jit_cache", {})
         key = (name, self.cfg)
         if key not in cache:
+            import logging
+
+            logging.getLogger("geo4d_tpu.pipeline").info(
+                "predictor jit %r: NEW (name, config) cache entry — shapes "
+                "seen for the first time will compile", name,
+            )
             cache[key] = build()
         return cache[key]
 

@@ -34,12 +34,22 @@ def main():
 
     t0 = time.time()
     params = bench.build_zero_params(model)
-    print(f"params {time.time() - t0:.0f}s; tracing diffusion cost...")
+    print(f"params {time.time() - t0:.0f}s; tracing substage costs...")
 
-    t0 = time.time()
-    d = bench.diffusion_cost(model, params, icfg, groups)
-    print(f"diffusion: {d['flops'] / 1e12:.2f} TFLOP, "
-          f"{d['bytes'] / 1e9:.1f} GB accessed ({time.time() - t0:.0f}s)")
+    total = 0.0
+    for name, mult, fn, make_args in bench.substage_specs(
+        model, params, icfg, groups
+    ):
+        t0 = time.time()
+        tag = (f"sub_{name}_{bench.N_FRAMES}x{bench.H}x{bench.W}"
+               f"_wb{icfg.window_batch}")
+        cost = bench._cached_cost_analysis(
+            tag, lambda fn=fn, make_args=make_args: fn.lower(*make_args(0))
+        )
+        total += cost["flops"] * mult
+        print(f"  {name:14s} x{mult}: {cost['flops'] / 1e12:.2f} TFLOP, "
+              f"{cost['bytes'] / 1e9:.1f} GB ({time.time() - t0:.0f}s)")
+    print(f"diffusion stage total: {total / 1e12:.1f} TFLOP")
 
     import jax.numpy as jnp
 
