@@ -513,6 +513,8 @@ def time_alignment_stage(groups, acfg):
 def main():
     import gc
 
+    import jax
+
     from geo4d_tpu.alignment.optimizer import AlignerConfig
     from geo4d_tpu.models.diffusion import GeoDiffusion
     from geo4d_tpu.pipeline.inference import InferenceConfig
@@ -589,6 +591,16 @@ def main():
     try:
         del al
         gc.collect()
+        # r5 run hit RESOURCE_EXHAUSTED here: device buffers pinned by
+        # module-level caches (substage timing inputs, aligner scan
+        # carries) survive gc. Nothing after this point reads any existing
+        # device array — the probe rebuilds everything from host — so
+        # purge the device arena outright before the 2.9 GB zero params.
+        for _arr in jax.live_arrays():
+            try:
+                _arr.delete()
+            except Exception:
+                pass
         zparams = build_zero_params(model)
         diff_zero_s, _, _ = time_diffusion_stage(model, zparams, icfg)
         del zparams
