@@ -128,31 +128,59 @@ def main():
     gc.collect()
 
     acfg = AlignerConfig(n_iter=500)   # default bucketing: Gp=28, Np=112
-    p, c, invd, trajs = synth_predictions(groups, H, W)
-    S = groups.shape[1]
-    t0 = time.time()
-    al = GroupAligner(
-        groups, jnp.asarray(p.reshape(G, S, -1, 3)),
-        jnp.asarray(c.reshape(G, S, -1)), (H, W),
-        invdepth=jnp.asarray(invd.reshape(G, S, -1)),
-        trajs=jnp.asarray(trajs), config=acfg,
-    )
-    init_from_group(al, jnp.asarray(p), jnp.asarray(c))
-    t_init = time.time() - t0
-    al.run()
-    align_s = time.time() - t0
+
+    def align_once(seed):
+        """ctor + init + 500-iter run on fresh geometry; returns timings.
+
+        The first call pays the phase-scan/ctor compiles at this bucket
+        (r5 initial artifact conflated them into align_run_s: 100.8 s of
+        which ~80 s was XLA compile); the second call is the steady state
+        every later same-bucket sequence gets — same warm-then-time
+        protocol as bench.py."""
+        p, c, invd, trajs = synth_predictions(groups, H, W, seed=seed)
+        S = groups.shape[1]
+        # stage inputs on device BEFORE the timer (bench.py protocol): in
+        # production these are the diffusion stage's device-resident
+        # outputs; the ~1 GB host upload rides the 25-45 MB/s tunnel and
+        # is not an alignment cost
+        p_dev = jnp.asarray(p)
+        pf = jnp.asarray(p.reshape(G, S, -1, 3))
+        cf = jnp.asarray(c.reshape(G, S, -1))
+        c_dev = jnp.asarray(c)
+        iv = jnp.asarray(invd.reshape(G, S, -1))
+        tj = jnp.asarray(trajs)
+        jax.block_until_ready((p_dev, pf, cf, c_dev, iv, tj))
+        float(jnp.sum(tj[0, 0]))   # tunnel sync (block_until_ready is async)
+        t0 = time.time()
+        al = GroupAligner(groups, pf, cf, (H, W), invdepth=iv, trajs=tj,
+                          config=acfg)
+        init_from_group(al, p_dev, c_dev)
+        t_init = time.time() - t0
+        al.run()
+        total = time.time() - t0
+        print(f"# align ctor+init {t_init:.1f}s, run {total - t_init:.1f}s",
+              file=sys.stderr)
+        return t_init, total - t_init, al.bucket_key()
+
+    warm_init, warm_run, _ = align_once(0)
+    t_init, run_s, bucket = align_once(1)
+    align_s = t_init + run_s
     mem_align = mem_stats()
-    print(f"# align ctor+init {t_init:.1f}s, run {align_s - t_init:.1f}s, "
-          f"mem {mem_align}", file=sys.stderr)
+    print(f"# align steady: ctor+init {t_init:.1f}s, run {run_s:.1f}s "
+          f"(cold: {warm_init:.1f}s + {warm_run:.1f}s), mem {mem_align}",
+          file=sys.stderr)
 
     e2e = diff_s + align_s
     out = {
         "frames": n, "resolution": f"{W}x{H}", "windows": G,
-        "bucket": {"Gp": al.Gp, "Np": al.Np, "S": al.S, "P": al.P},
+        "bucket": {"Gp": bucket[0], "Np": bucket[1], "S": bucket[2],
+                   "P": bucket[3]},
         "diffusion_s": round(diff_s, 2),
         "diffusion_warm_s": round(diff_warm, 1),
         "align_ctor_init_s": round(t_init, 2),
-        "align_run_s": round(align_s - t_init, 2),
+        "align_run_s": round(run_s, 2),
+        "align_cold_ctor_init_s": round(warm_init, 2),
+        "align_cold_run_s": round(warm_run, 2),
         "e2e_s": round(e2e, 2),
         "sec_per_frame": round(e2e / n, 3),
         "frames_per_sec": round(n / e2e, 3),
@@ -160,9 +188,11 @@ def main():
         "mem_after_align": mem_align,
         "device": jax.devices()[0].device_kind,
         "note": ("zero weights; aligner on synthetic self-consistent "
-                 "geometry (bench.py protocol) — proves no OOM and real "
-                 "timings at G=25/N=110, the reference's >=80-frame "
-                 "engineering target"),
+                 "geometry (bench.py protocol: inputs staged on device "
+                 "before the timer, warm-then-time) — proves no OOM and "
+                 "steady-state timings at G=25/N=110, the reference's "
+                 ">=80-frame engineering target; align_cold_* = first "
+                 "in-process call (executable load from the disk cache)"),
     }
     path = os.path.join(_REPO, "LONGSEQ_r05.json")
     with open(path, "w") as f:
