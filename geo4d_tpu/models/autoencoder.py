@@ -41,11 +41,9 @@ class VAEResnetBlock(nn.Module):
     def __call__(self, x):
         c_in = x.shape[-1]
         c_out = self.out_channels or c_in
-        h = GroupNorm32(epsilon=1e-6, name="norm1")(x)
-        h = swish(h)
+        h = GroupNorm32(epsilon=1e-6, silu=True, name="norm1")(x)
         h = Conv(c_out, 3, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm2")(h)
-        h = swish(h)
+        h = GroupNorm32(epsilon=1e-6, silu=True, name="norm2")(h)
         h = Conv(c_out, 3, dtype=self.dtype, name="conv2")(h)
         if c_in != c_out:
             x = Conv(c_out, 1, dtype=self.dtype, name="nin_shortcut")(x)
@@ -115,8 +113,7 @@ class VAEEncoder(nn.Module):
         h = VAEResnetBlock(dtype=self.dtype, name="mid_block_1")(h)
         h = VAEAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = VAEResnetBlock(dtype=self.dtype, name="mid_block_2")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
-        h = swish(h)
+        h = GroupNorm32(epsilon=1e-6, silu=True, name="norm_out")(h)
         zc = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return Conv(zc, 3, dtype=self.dtype, name="conv_out")(h)
 
@@ -149,8 +146,7 @@ class VAEDecoder(nn.Module):
                 ).reshape(b, 2 * hh, 2 * ww, c)
                 h = Conv(c, 3, dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
         pre_head = h
-        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
-        h = swish(h)
+        h = GroupNorm32(epsilon=1e-6, silu=True, name="norm_out")(h)
         rgb = Conv(cfg.out_ch, 3, dtype=self.dtype, name="conv_out")(h)
         return rgb, pre_head
 
@@ -167,8 +163,7 @@ class EncoderAdaptor(nn.Module):
         h = Conv(cfg.adaptor_ch, 3, dtype=self.dtype, name="conv_in")(x.astype(self.dtype))
         for i in range(cfg.adaptor_num_res_blocks):
             h = VAEResnetBlock(cfg.adaptor_ch, dtype=self.dtype, name=f"block_{i}")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
-        h = swish(h)
+        h = GroupNorm32(epsilon=1e-6, silu=True, name="norm_out")(h)
         h = Conv(cfg.in_channels, 3, zero_init=True, dtype=self.dtype, name="conv_out")(h)
         return h + x.astype(h.dtype)
 
@@ -185,8 +180,7 @@ class DecoderAdaptor(nn.Module):
         h = pre_head
         for i in range(cfg.adaptor_num_res_blocks + 1):
             h = VAEResnetBlock(cfg.adaptor_ch, dtype=self.dtype, name=f"block_{i}")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
-        h = swish(h)
+        h = GroupNorm32(epsilon=1e-6, silu=True, name="norm_out")(h)
         return Conv(cfg.adaptor_out_ch, 3, dtype=self.dtype, name="conv_out")(h)
 
 

@@ -66,8 +66,7 @@ class TemporalConvBlock(nn.Module):
 
         h = x
         for i, zero in enumerate([False, False, False, True]):
-            h = GroupNorm32(name=f"norm{i + 1}")(h)
-            h = nn.silu(h)
+            h = GroupNorm32(silu=True, name=f"norm{i + 1}")(h)
             if i > 0 and self.dropout > 0:
                 h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = tconv(h, f"conv{i + 1}", zero=zero)
@@ -89,8 +88,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, temporal_length: int, deterministic: bool = True):
         c_in = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(silu=True, name="in_norm")(x)
         h = Conv(self.out_channels, 3, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(
@@ -98,8 +96,7 @@ class ResBlock(nn.Module):
         )
         h = h + emb_out[:, None, None, :].astype(h.dtype)
 
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(silu=True, name="out_norm")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = Conv(self.out_channels, 3, zero_init=True, dtype=self.dtype, name="out_conv")(h)
@@ -325,7 +322,6 @@ class UNet3D(nn.Module):
                     ds //= 2
                 out_idx += 1
 
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(silu=True, name="out_norm")(h)
         h = Conv(self.out_channels, 3, zero_init=True, dtype=self.dtype, name="out_conv")(h)
         return h.reshape(b, t, hgt, wid, self.out_channels).astype(jnp.float32)

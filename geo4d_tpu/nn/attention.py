@@ -139,6 +139,21 @@ class CrossAttention(nn.Module):
         k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
+        if (
+            is_self_attn
+            and n <= 32
+            and not self.causal
+            and not self.relative_position
+        ):
+            # temporal hot path: fused Pallas kernel on the heads-packed
+            # (P, N, C) layout straight off the projections — one HBM pass,
+            # no head-split/fold transposes (ops/temporal_attention.py)
+            from geo4d_tpu.ops.temporal_attention import temporal_attention
+
+            out = temporal_attention(q, k, v, h)
+            if out is not None:
+                return Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+
         def split_heads(t):
             return t.reshape(t.shape[0], t.shape[1], h, d)
 

@@ -57,6 +57,7 @@ class _FusedGroupNorm(nn.Module):
 
     num_groups: int
     epsilon: float
+    silu: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -65,6 +66,17 @@ class _FusedGroupNorm(nn.Module):
         cg = c // g
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        # TPU hot path: one-read-one-write Pallas kernel with the SiLU
+        # folded in (ops/group_norm.py) — the XLA stats reduces below
+        # measured only ~310 GB/s on the UNet bench trace
+        from geo4d_tpu.ops.group_norm import fused_group_norm
+
+        out = fused_group_norm(x, gamma, beta, groups=g, eps=self.epsilon,
+                               silu=self.silu)
+        if out is not None:
+            return out
+
         spatial = tuple(range(1, x.ndim - 1))
         mean_c = jnp.mean(x, axis=spatial, dtype=jnp.float32)      # (N, C)
         # second moment from x*x in the INPUT dtype (f32-accumulated):
@@ -82,14 +94,23 @@ class _FusedGroupNorm(nn.Module):
         a = rstd_c * gamma[None]
         b = beta[None] - shift_g * gamma[None]
         shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
-        return x.astype(jnp.float32) * a.reshape(shape) + b.reshape(shape)
+        y = x.astype(jnp.float32) * a.reshape(shape) + b.reshape(shape)
+        if self.silu:
+            y = y * jax.nn.sigmoid(y)
+        return y
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in float32 regardless of input dtype."""
+    """GroupNorm computed in float32 regardless of input dtype.
+
+    `silu=True` folds the SiLU/swish that always follows the norm in the
+    UNet/VAE conv blocks into the same kernel pass (ops/group_norm.py) —
+    parameter paths are unchanged.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    silu: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -103,7 +124,8 @@ class GroupNorm32(nn.Module):
         # paths (…/GroupNorm_0/scale|bias) — and therefore the torch
         # checkpoint converter — are unchanged
         y = _FusedGroupNorm(
-            num_groups=groups, epsilon=self.epsilon, name="GroupNorm_0"
+            num_groups=groups, epsilon=self.epsilon, silu=self.silu,
+            name="GroupNorm_0"
         )(x)
         return y.astype(orig_dtype)
 

@@ -97,19 +97,23 @@ def flash_attention(q, k, v) -> Optional[jax.Array]:
     45 TFLOP/s at q_block 1024 vs 18.8 for XLA's einsum+softmax path —
     hence this kernel is the default spatial-attention path.
     """
-    if not _PALLAS_OK:
-        return None
-    if jax.default_backend() != "tpu":
+    from geo4d_tpu.ops.dispatch import pallas_tpu_available
+
+    if not _PALLAS_OK or not pallas_tpu_available():
         return None  # Mosaic lowering is TPU-only; CPU tests take XLA path
     b, nq, h, d = q.shape
     nk = k.shape[1]
-    if d % 64 != 0 or nk > 4096 or nk % 128 != 0:
+    if d % 64 != 0 or nk > 4096 or nk % 16 != 0:
+        # nk is a second-minor dim in the (1, nk, d) K/V tiles: Mosaic needs
+        # a multiple of 16 (bf16 sublanes), not 128 — 128 would wrongly
+        # exclude the ds2 spatial shapes (nq = nk = 576)
         return None
     q_block = 0
-    # multiples of 128 only (sublane-aligned at bf16); non-power-of-two
-    # candidates matter: 576x256 latents give nq = 2304 = 3*768, which a
-    # power-of-two-only ladder would tile at 256 (3x more grid steps)
-    for cand in (1024, 768, 512, 384, 256, 128):
+    # multiples of 16 (bf16 sublane tile on the second-minor axis);
+    # non-power-of-two candidates matter: 576x256 latents give nq = 2304 =
+    # 3*768 (power-of-two-only would tile at 256, 3x more grid steps) and
+    # the ds2 spatial shapes give nq = 576
+    for cand in (1024, 768, 576, 512, 384, 288, 256, 192, 128):
         if nq % cand == 0:
             q_block = cand
             break
